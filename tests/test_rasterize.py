@@ -1,0 +1,204 @@
+"""Rasterization: tiled path vs naive oracle, analytic single-gaussian checks,
+and gradient verification of the differentiable blend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussctrl_exp_tpu.cameras import look_at, make_camera
+from gaussctrl_exp_tpu.ops import RenderConfig, render
+from gaussctrl_exp_tpu.ops.blend import blend_weights, rasterize_naive
+from gaussctrl_exp_tpu.ops.projection import project_gaussians
+from gaussctrl_exp_tpu.cameras import camera_matrices
+
+from conftest import make_test_scene
+
+
+def _cam(H=64, W=64, f=80.0):
+    c2w = look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3))
+    return make_camera(c2w, fx=f, fy=f, cx=W / 2, cy=H / 2, width=W, height=H)
+
+
+def _render_both(means, scales, quats, colors, opacs, cam, bg=None):
+    bg = jnp.zeros(3) if bg is None else bg
+    cfg = RenderConfig(impl="jnp", isect_capacity=1 << 14, max_per_tile=256)
+    out = render(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(colors), jnp.asarray(opacs), cam, bg, cfg,
+    )
+    proj = out.proj
+    chan = jnp.concatenate([jnp.asarray(colors), proj.depths[:, None]], -1)
+    naive = rasterize_naive(
+        proj.xys, proj.depths, proj.conics, chan, jnp.asarray(opacs),
+        proj.mask, proj.tile_bbox, cam.height, cam.width,
+    )
+    naive_rgb = jnp.minimum(naive.img[..., :3] + naive.final_T[..., None] * bg, 1.0)
+    return out, naive, naive_rgb
+
+
+class TestBlendWeights:
+    def test_single_gaussian(self):
+        alpha = jnp.array([[0.5]])
+        w, T = blend_weights(alpha)
+        np.testing.assert_allclose(w, [[0.5]])
+        np.testing.assert_allclose(T, [0.5])
+
+    def test_sequential_compositing(self):
+        alpha = jnp.array([[0.5, 0.5, 0.5]])
+        w, T = blend_weights(alpha)
+        np.testing.assert_allclose(w, [[0.5, 0.25, 0.125]])
+        np.testing.assert_allclose(T, [0.125])
+
+    def test_early_termination(self):
+        """Once cumulative T drops to ≤1e-4, later gaussians don't composite."""
+        alpha = jnp.full((1, 8), 0.999)
+        w, T = blend_weights(alpha)
+        w = np.asarray(w)[0]
+        # T_after: 1e-3, 1e-6 → only first composites
+        assert w[0] == pytest.approx(0.999)
+        assert np.all(w[1:] == 0)
+        np.testing.assert_allclose(T, [1e-3], rtol=1e-4)
+
+    def test_skipped_alpha_zero(self):
+        alpha = jnp.array([[0.5, 0.0, 0.5]])
+        w, _ = blend_weights(alpha)
+        np.testing.assert_allclose(w, [[0.5, 0.0, 0.25]])
+
+
+class TestAnalyticRender:
+    def test_single_gaussian_peak(self):
+        """A lone opaque gaussian at image center: α at center = sigmoid-free
+        opac (σ=0 at the mean), color = α·c."""
+        cam = _cam()
+        means = np.zeros((1, 3), np.float32)
+        scales = np.full((1, 3), 0.1, np.float32)
+        quats = np.array([[1.0, 0, 0, 0]], np.float32)
+        colors = np.array([[1.0, 0.5, 0.25]], np.float32)
+        opacs = np.array([0.9], np.float32)
+        out, _, _ = _render_both(means, scales, quats, colors, opacs, cam)
+        # center lands at (31.5, 31.5); peak pixel value at 31 or 32
+        rgb = np.asarray(out.rgb)
+        cx, cy = 31.5, 31.5
+        # α at distance d from center: opac * exp(-0.5 d²/var)
+        var = (80.0 * 0.1 / 4.0) ** 2 + 0.3
+        d2 = 2 * (0.5**2)
+        expect = 0.9 * np.exp(-0.5 * d2 / var)
+        np.testing.assert_allclose(rgb[31, 31], expect * colors[0], rtol=1e-3)
+        # alpha map matches
+        np.testing.assert_allclose(out.alpha[31, 31, 0], expect, rtol=1e-3)
+
+    def test_empty_scene_background(self):
+        cam = _cam()
+        means = np.array([[0.0, -10.0, 0.0]], np.float32)  # behind camera
+        scales = np.full((1, 3), 0.1, np.float32)
+        quats = np.array([[1.0, 0, 0, 0]], np.float32)
+        bg = jnp.array([0.2, 0.4, 0.6])
+        out, _, _ = _render_both(means, scales, quats, np.ones((1, 3), np.float32), np.ones(1, np.float32), cam, bg)
+        np.testing.assert_allclose(out.rgb, np.broadcast_to(np.array([0.2, 0.4, 0.6]), (64, 64, 3)), atol=1e-6)
+        np.testing.assert_allclose(out.alpha, 0.0, atol=1e-7)
+        np.testing.assert_allclose(out.depth, 1000.0)
+
+    def test_occlusion_order(self):
+        """A nearer opaque gaussian occludes a farther one regardless of array order."""
+        cam = _cam()
+        scales = np.full((2, 3), 0.15, np.float32)
+        quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (2, 1))
+        opacs = np.array([0.99, 0.99], np.float32)
+        # gaussian 0 far (y=+1 → depth 5), gaussian 1 near (y=-1 → depth 3)
+        means = np.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]], np.float32)
+        colors = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+        out, _, _ = _render_both(means, scales, quats, colors, opacs, cam)
+        rgb = np.asarray(out.rgb)
+        assert rgb[31, 31, 1] > 0.9  # near green dominates
+        assert rgb[31, 31, 0] < 0.05
+        # depth at center ≈ near gaussian depth (3), alpha-normalized
+        assert abs(float(out.depth[31, 31, 0]) - 3.0) < 0.2
+
+
+class TestTiledVsNaive:
+    @pytest.mark.parametrize("n", [16, 128, 512])
+    def test_rgb_matches_oracle(self, rng, n):
+        cam = _cam()
+        means, scales, quats, colors, opacs = make_test_scene(rng, n=n)
+        out, naive, naive_rgb = _render_both(means, scales, quats, colors, opacs, cam)
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(naive_rgb), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.alpha[..., 0]), np.asarray(1.0 - naive.final_T), atol=1e-5
+        )
+
+    def test_nonsquare_image(self, rng):
+        c2w = look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3))
+        cam = make_camera(c2w, fx=80.0, fy=80.0, cx=40.0, cy=24.0, width=80, height=48)
+        means, scales, quats, colors, opacs = make_test_scene(rng, n=100)
+        out, naive, naive_rgb = _render_both(means, scales, quats, colors, opacs, cam)
+        assert out.rgb.shape == (48, 80, 3)
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(naive_rgb), atol=1e-5)
+
+
+class TestGradients:
+    def test_blend_gradients_finite_diff(self, rng):
+        """d(render)/d(colors, opacities) via autodiff matches finite differences."""
+        cam = _cam(H=32, W=32, f=40.0)
+        means, scales, quats, colors, opacs = make_test_scene(rng, n=24, spread=0.8)
+        cfg = RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=64)
+        bg = jnp.array([0.1, 0.1, 0.1])
+        target = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (32, 32, 3)).astype(np.float32))
+
+        def loss(colors, opacs, means):
+            out = render(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                         colors, opacs, cam, bg, cfg)
+            return jnp.mean((out.rgb - target) ** 2)
+
+        g_col, g_opa, g_mean = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(colors), jnp.asarray(opacs), jnp.asarray(means)
+        )
+        eps = 1e-3
+        for idx in [(0, 0), (5, 2), (11, 1)]:
+            cp = jnp.asarray(colors).at[idx].add(eps)
+            cm = jnp.asarray(colors).at[idx].add(-eps)
+            fd = (loss(cp, jnp.asarray(opacs), means) - loss(cm, jnp.asarray(opacs), means)) / (2 * eps)
+            np.testing.assert_allclose(g_col[idx], fd, rtol=2e-2, atol=1e-5)
+        # f32 FD noise is ~1e-7/eps, so use a larger eps for non-quadratic params
+        eps = 3e-2
+        for i in [1, 7]:
+            op = jnp.asarray(opacs).at[i].add(eps)
+            om = jnp.asarray(opacs).at[i].add(-eps)
+            fd = (loss(jnp.asarray(colors), op, means) - loss(jnp.asarray(colors), om, means)) / (2 * eps)
+            np.testing.assert_allclose(g_opa[i], fd, rtol=5e-2, atol=2e-5)
+        # No FD check for means: binning (tile bbox / radius) is integer-valued
+        # and discontinuous in the mean, so FD straddles bin flips. Mean grads
+        # are verified against the naive oracle's autodiff below instead.
+        assert np.all(np.isfinite(np.asarray(g_mean)))
+
+    def test_tiled_grads_match_naive_grads(self, rng):
+        """Autodiff through the tiled (bin+gather) path equals autodiff through
+        the independent dense-mask oracle."""
+        cam = _cam(H=32, W=32, f=40.0)
+        means, scales, quats, colors, opacs = make_test_scene(rng, n=48, spread=0.8)
+        bg = jnp.array([0.3, 0.2, 0.1])
+        target = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        cfg = RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=64)
+        vm, pm, fm = camera_matrices(cam)
+
+        def loss_tiled(means, colors, opacs):
+            out = render(means, jnp.asarray(scales), jnp.asarray(quats), colors, opacs, cam, bg, cfg)
+            return jnp.mean((out.rgb - target) ** 2)
+
+        def loss_naive(means, colors, opacs):
+            proj = project_gaussians(
+                means, jnp.asarray(scales), 1.0, jnp.asarray(quats), vm, fm,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,
+            )
+            out = rasterize_naive(
+                proj.xys, proj.depths, proj.conics, colors, opacs,
+                proj.mask, proj.tile_bbox, cam.height, cam.width,
+            )
+            rgb = jnp.minimum(out.img[..., :3] + out.final_T[..., None] * bg, 1.0)
+            return jnp.mean((rgb - target) ** 2)
+
+        args = (jnp.asarray(means), jnp.asarray(colors), jnp.asarray(opacs))
+        g_t = jax.grad(loss_tiled, argnums=(0, 1, 2))(*args)
+        g_n = jax.grad(loss_naive, argnums=(0, 1, 2))(*args)
+        for gt, gn, name in zip(g_t, g_n, ["means", "colors", "opacs"]):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(gn), atol=1e-6, rtol=1e-3, err_msg=name)
