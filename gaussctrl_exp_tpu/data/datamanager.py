@@ -1,0 +1,173 @@
+"""Data manager: image caching + undistortion, view subsetting, train sampling.
+
+Host-side equivalent of the reference's GaussCtrlDataManager
+(/root/reference/gaussctrl/gc_datamanager.py):
+
+  * caches + undistorts all images up front with cv2, updating intrinsics from
+    ``cv2.getOptimalNewCameraMatrix`` (:112-186),
+  * view subsetting: if views > subset_num × sampled_views_every_subset
+    (4 × 10 = 40) and not load_all, splits views into ``subset_num`` contiguous
+    anchors and random-samples ``sampled_views_every_subset`` per split,
+    re-indexing (:89-110),
+  * ``next_train`` pops a random unseen camera and re-populates when exhausted
+    (:213-235),
+  * edited-image write-back for the GaussCtrl edit loop (the pipeline replaces
+    ``train_data[i]["image"]`` after editing, ad_pipeline.py:241-242).
+
+Images live as a stacked (V, H, W, 3) float32 numpy array — one
+host-to-device transfer per train step (or the whole stack resident on device
+for small scenes), instead of per-image torch deepcopies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .dataparser import DataParserConfig, DataparserOutputs, load_scene
+
+
+@dataclasses.dataclass
+class DataManagerConfig:
+    dataparser: DataParserConfig = dataclasses.field(default_factory=DataParserConfig)
+    subset_num: int = 4
+    sampled_views_every_subset: int = 10
+    load_all: bool = False
+    seed: int = 0
+
+
+def _load_image(path: Path) -> np.ndarray:
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+    return img
+
+
+def _undistort(img: np.ndarray, K: np.ndarray, dist6: np.ndarray):
+    """cv2 undistort with OPENCV (radial k1-k4 + tangential p1,p2) model.
+
+    Returns (undistorted image, new K). Matches nerfstudio's `_undistort_image`
+    use of getOptimalNewCameraMatrix(alpha=0) + undistort.
+    """
+    if not np.any(np.abs(dist6) > 0):
+        return img, K
+    import cv2
+
+    # cv2 rational model: [k1, k2, p1, p2, k3, k4, 0, 0] (nerfstudio _undistort_image)
+    d = np.array(
+        [dist6[0], dist6[1], dist6[4], dist6[5], dist6[2], dist6[3], 0.0, 0.0], np.float32
+    )
+    h, w = img.shape[:2]
+    newK, roi = cv2.getOptimalNewCameraMatrix(K, d, (w, h), 0)
+    und = cv2.undistort(img, K, d, None, newK)
+    x, y, rw, rh = roi
+    und = und[y : y + rh, x : x + rw]
+    newK[0, 2] -= x
+    newK[1, 2] -= y
+    return und, newK
+
+
+class DataManager:
+    """Caches train images and serves (camera_index, image) train samples."""
+
+    def __init__(self, config: DataManagerConfig, split: str = "train"):
+        self.config = config
+        self.parsed: DataparserOutputs = load_scene(config.dataparser, split)
+        self._rng = random.Random(config.seed)
+
+        cams = self.parsed.cameras
+        n_views = len(self.parsed.image_filenames)
+
+        images = []
+        fx, fy, cx, cy = [], [], [], []
+        W = H = None
+        for i, path in enumerate(self.parsed.image_filenames):
+            img = _load_image(path)
+            K = np.array(
+                [[cams.fx[i], 0, cams.cx[i]], [0, cams.fy[i], cams.cy[i]], [0, 0, 1]],
+                np.float32,
+            )
+            img, K = _undistort(img, K, cams.distortion[i])
+            images.append(img)
+            fx.append(K[0, 0])
+            fy.append(K[1, 1])
+            cx.append(K[0, 2])
+            cy.append(K[1, 2])
+            H, W = img.shape[:2]
+        # undistortion ROI can differ by a pixel between views; crop to common size
+        H = min(im.shape[0] for im in images)
+        W = min(im.shape[1] for im in images)
+        images = [im[:H, :W] for im in images]
+
+        self.images = np.stack(images)  # (V, H, W, 3)
+        self.c2w = cams.c2w
+        self.fx = np.asarray(fx, np.float32)
+        self.fy = np.asarray(fy, np.float32)
+        self.cx = np.asarray(cx, np.float32)
+        self.cy = np.asarray(cy, np.float32)
+        self.width, self.height = W, H
+
+        # --- view subsetting (gc_datamanager.py:89-110)
+        cap = config.subset_num * config.sampled_views_every_subset
+        if n_views <= cap or config.load_all:
+            self.view_indices = list(range(n_views))
+        else:
+            anchors = list(range(0, n_views, n_views // config.subset_num))[: config.subset_num]
+            anchors = anchors + [n_views]
+            sampled = []
+            for a, b in zip(anchors[:-1], anchors[1:]):
+                sampled += sorted(self._rng.sample(range(a, b), config.sampled_views_every_subset))
+            self.view_indices = sampled
+        self._select(self.view_indices)
+        self._unseen = list(range(len(self.view_indices)))
+
+    def _select(self, idx):
+        idx = np.asarray(idx)
+        self.images = self.images[idx]
+        self.c2w = self.c2w[idx]
+        self.fx, self.fy = self.fx[idx], self.fy[idx]
+        self.cx, self.cy = self.cx[idx], self.cy[idx]
+        self.unedited_images = self.images.copy()
+
+    def __len__(self) -> int:
+        return len(self.view_indices)
+
+    def camera(self, i: int):
+        from ..cameras import make_camera
+
+        return make_camera(
+            self.c2w[i], self.fx[i], self.fy[i], self.cx[i], self.cy[i], self.width, self.height
+        )
+
+    def cameras_stacked(self):
+        from ..cameras import Camera
+        import jax.numpy as jnp
+
+        return Camera(
+            c2w=jnp.asarray(self.c2w[:, :3, :4]),
+            fx=jnp.asarray(self.fx),
+            fy=jnp.asarray(self.fy),
+            cx=jnp.asarray(self.cx),
+            cy=jnp.asarray(self.cy),
+            width=self.width,
+            height=self.height,
+        )
+
+    def next_train(self) -> tuple[int, np.ndarray]:
+        """Random unseen view; re-populate when exhausted (gc_datamanager.py:213-235)."""
+        i = self._unseen.pop(self._rng.randint(0, len(self._unseen) - 1))
+        if not self._unseen:
+            self._unseen = list(range(len(self.view_indices)))
+        return i, self.images[i]
+
+    def write_back(self, i: int, image: np.ndarray) -> None:
+        """Replace a cached train image with its edited version (ad_pipeline.py:241-242)."""
+        self.images[i] = np.asarray(image, np.float32)
+
+    def reset_images(self) -> None:
+        """Viewer 'reset' behavior: restore unedited images (gc_trainer.py:136-144)."""
+        self.images = self.unedited_images.copy()

@@ -64,7 +64,13 @@ def render(
     background: jnp.ndarray,  # (3,)
     cfg: RenderConfig = RenderConfig(),
     extra_mask: Optional[jnp.ndarray] = None,
+    xys_offset: Optional[jnp.ndarray] = None,
 ) -> RenderOutputs:
+    """``xys_offset``: optional (N, 2) zeros added to the projected centers
+    AFTER binning. Its gradient is dL/d(screen xy) — the densification
+    statistic the reference collects via ``xys.retain_grad()``
+    (gc_model.py:193-194) — without making binning pretend to be
+    differentiable."""
     H, W = camera.height, camera.width
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
@@ -90,7 +96,8 @@ def render(
 
     # depth-sorted per-gaussian blend inputs (rank order = bins.order)
     order = bins.order
-    xys_s = proj.xys[order]
+    xys = proj.xys if xys_offset is None else proj.xys + xys_offset
+    xys_s = xys[order]
     conics_s = proj.conics[order]
     opacs_s = opacities.reshape(-1)[order]
     chan = [colors[order]]

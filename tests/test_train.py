@@ -1,0 +1,204 @@
+"""End-to-end training: overfit a tiny synthetic scene; densify/prune mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussctrl_exp_tpu.cameras import look_at, make_camera
+from gaussctrl_exp_tpu.engine.trainer import (
+    TrainConfig,
+    Trainer,
+    init_train_state,
+    make_train_step,
+)
+from gaussctrl_exp_tpu.models.densify import (
+    DensifyConfig,
+    DensifyStats,
+    accumulate_stats,
+    refine,
+    reset_opacity,
+)
+from gaussctrl_exp_tpu.models.gaussians import GaussianParams, GaussianState, init_random
+from gaussctrl_exp_tpu.models.splat_model import SplatModelConfig, render_model
+from gaussctrl_exp_tpu.ops.renderer import RenderConfig
+
+
+class FakeDataManager:
+    """Serves a fixed set of (camera, image) pairs."""
+
+    def __init__(self, cameras, images, seed=0):
+        self.cameras = cameras
+        self.images = images
+        self.width = cameras[0].width
+        self.height = cameras[0].height
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.cameras)
+
+    def next_train(self):
+        i = int(self._rng.integers(len(self.cameras)))
+        return i, self.images[i]
+
+    def camera(self, i):
+        return self.cameras[i]
+
+
+def _make_target_scene():
+    """Ground-truth scene rendered from 'true' gaussians → training images."""
+    rng = np.random.default_rng(11)
+    n = 40
+    means = np.zeros((64, 3), np.float32)
+    means[:n] = rng.normal(size=(n, 3)).astype(np.float32) * 0.6
+    true = init_random(n, capacity=64, sh_degree=0, seed=1)
+    params = true.params._replace(
+        means=jnp.asarray(means),
+        scales=jnp.full((64, 3), np.log(0.12)),
+        features_dc=jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32)),
+        opacities=jnp.full((64, 1), 2.0),
+    )
+    true = GaussianState(params, true.alive)
+
+    cams = []
+    for ang in [0.0, 0.5, -0.5, 1.0]:
+        eye = np.array([3.5 * np.sin(ang), -3.5 * np.cos(ang), 0.8])
+        cams.append(
+            make_camera(look_at(eye, np.zeros(3)), 60.0, 60.0, 24.0, 24.0, 48, 48)
+        )
+    cfg = SplatModelConfig(sh_degree=0, background_color="white",
+                           render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128))
+    images = [
+        np.asarray(render_model(true, c, 0, cfg, training=False).rgb) for c in cams
+    ]
+    return cams, images
+
+
+@pytest.mark.slow
+def test_overfit_tiny_scene():
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(50, capacity=64, sh_degree=0, seed=5)
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0,
+            background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        ),
+        densify=DensifyConfig(warmup_length=10_000),  # no refinement in this test
+    )
+    trainer = Trainer(gs, dm, cfg)
+    trainer.train(100, log_every=20)
+    # splatfacto's LRs are tuned for 30k-step runs; expect steady but not
+    # dramatic progress in 100 steps (observed ~0.255 → ~0.21)
+    first = trainer.history[0]["main_loss"]
+    last = trainer.history[-1]["main_loss"]
+    assert last < first * 0.88, f"loss did not drop: {first} -> {last}"
+
+
+class TestDensify:
+    def _state(self, n=8, capacity=16):
+        gs = init_random(n, capacity=capacity, sh_degree=1, seed=3)
+        import optax
+
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(gs.params)
+        return gs, opt, opt_state
+
+    def test_split_large_high_grad(self):
+        gs, opt, opt_state = self._state()
+        C = gs.params.capacity
+        cfg = DensifyConfig(densify_grad_thresh=1e-4, densify_size_thresh=0.01)
+        # make gaussian 0 large + high grad
+        params = gs.params._replace(scales=gs.params.scales.at[0].set(np.log(0.5)))
+        gs = GaussianState(params, gs.alive)
+        stats = DensifyStats.zero(C)
+        stats = stats._replace(
+            xys_grad_sum=stats.xys_grad_sum.at[0].set(10.0),
+            vis_count=stats.vis_count.at[0].set(1),
+        )
+        n_alive_before = int(jnp.sum(gs.alive))
+        new_gs, new_opt, new_stats, info = refine(
+            gs, opt_state, stats, jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
+        )
+        assert int(info["n_split"]) == 1
+        # split: parent slot reused by child1 + one new slot → net +1
+        assert int(info["n_alive"]) == n_alive_before + 1
+        # child scales shrunk by 1.6
+        np.testing.assert_allclose(
+            np.exp(np.asarray(new_gs.params.scales[0])), 0.5 / 1.6, rtol=1e-5
+        )
+        # stats reset
+        assert float(jnp.sum(new_stats.xys_grad_sum)) == 0.0
+
+    def test_dup_small_high_grad(self):
+        gs, opt, opt_state = self._state()
+        C = gs.params.capacity
+        cfg = DensifyConfig(densify_grad_thresh=1e-4, densify_size_thresh=10.0)
+        stats = DensifyStats.zero(C)._replace(
+            xys_grad_sum=jnp.zeros(C).at[1].set(10.0),
+            vis_count=jnp.zeros(C, jnp.int32).at[1].set(1),
+        )
+        n_before = int(jnp.sum(gs.alive))
+        new_gs, _, _, info = refine(
+            gs, opt_state, stats, jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
+        )
+        assert int(info["n_dup"]) == 1
+        assert int(info["n_alive"]) == n_before + 1
+        # the dup is an exact copy of gaussian 1: find it among new slots
+        dup_slots = np.asarray(new_gs.alive) & ~np.asarray(gs.alive)
+        (slot,) = np.nonzero(dup_slots)[0]
+        np.testing.assert_allclose(new_gs.params.means[slot], gs.params.means[1])
+
+    def test_cull_low_opacity(self):
+        gs, opt, opt_state = self._state()
+        C = gs.params.capacity
+        params = gs.params._replace(opacities=gs.params.opacities.at[2].set(-10.0))
+        gs = GaussianState(params, gs.alive)
+        cfg = DensifyConfig(cull_alpha_thresh=0.1)
+        new_gs, _, _, info = refine(
+            gs, opt_state, DensifyStats.zero(C), jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
+        )
+        assert int(info["n_cull"]) >= 1
+        assert not bool(new_gs.alive[2])
+
+    def test_adam_moments_zeroed_for_new(self):
+        gs, opt, opt_state = self._state()
+        C = gs.params.capacity
+        # fake nonzero moments everywhere
+        opt_state = jax.tree.map(
+            lambda x: jnp.ones_like(x) if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[:1] == (C,) else x,
+            opt_state,
+        )
+        cfg = DensifyConfig(densify_grad_thresh=1e-4, densify_size_thresh=10.0)
+        stats = DensifyStats.zero(C)._replace(
+            xys_grad_sum=jnp.zeros(C).at[1].set(10.0),
+            vis_count=jnp.zeros(C, jnp.int32).at[1].set(1),
+        )
+        new_gs, new_opt, _, _ = refine(
+            gs, opt_state, stats, jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
+        )
+        dup_slots = np.asarray(new_gs.alive) & ~np.asarray(gs.alive)
+        (slot,) = np.nonzero(dup_slots)[0]
+        mu = new_opt[0].mu  # adam ScaleByAdamState
+        assert float(jnp.abs(mu.means[slot]).max()) == 0.0
+        assert float(jnp.abs(mu.means[0]).max()) == 1.0  # untouched rows intact
+
+    def test_reset_opacity(self):
+        gs, opt, opt_state = self._state()
+        new_gs, _ = reset_opacity(gs, opt_state, DensifyConfig(cull_alpha_thresh=0.1))
+        sig = jax.nn.sigmoid(np.asarray(new_gs.params.opacities))
+        assert sig.max() <= 0.2 + 1e-5
+
+    def test_capacity_overflow_reported(self):
+        gs, opt, opt_state = self._state(n=15, capacity=16)  # only 1 dead slot
+        C = 16
+        cfg = DensifyConfig(densify_grad_thresh=1e-4, densify_size_thresh=10.0)
+        stats = DensifyStats.zero(C)._replace(
+            xys_grad_sum=jnp.zeros(C).at[:10].set(10.0),
+            vis_count=jnp.zeros(C, jnp.int32).at[:10].set(1),
+        )
+        _, _, _, info = refine(
+            gs, opt_state, stats, jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
+        )
+        assert int(info["n_dropped"]) == 9  # 10 dups wanted, 1 slot free
