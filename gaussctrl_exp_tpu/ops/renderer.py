@@ -94,25 +94,31 @@ def render(
     )
     bins = bin_gaussians(proj, tiles_x, tiles_y, cfg.isect_capacity)
 
-    # depth-sorted per-gaussian blend inputs (rank order = bins.order)
-    order = bins.order
     xys = proj.xys if xys_offset is None else proj.xys + xys_offset
-    xys_s = xys[order]
-    conics_s = proj.conics[order]
-    opacs_s = opacities.reshape(-1)[order]
-    chan = [colors[order]]
+    chan = [colors]
     if cfg.render_depth:
-        chan.append(proj.depths[order][:, None])
-    chan_s = jnp.concatenate(chan, axis=-1)
+        chan.append(proj.depths[:, None])
+    chan = jnp.concatenate(chan, axis=-1)
+    opacs = opacities.reshape(-1)
 
     impl = _resolve_impl(cfg.impl)
     if impl == "pallas":
+        # pallas path takes original-order arrays (sorts internally via bins)
         from .blend_pallas import rasterize_tiles_pallas
 
-        out = rasterize_tiles_pallas(xys_s, conics_s, chan_s, opacs_s, bins, H, W)
+        out = rasterize_tiles_pallas(xys, proj.conics, chan, opacs, bins, H, W)
     else:
+        order = bins.order
         out = blend_jnp.rasterize_tiles_jnp(
-            xys_s, conics_s, chan_s, opacs_s, bins, H, W, cfg.max_per_tile, cfg.tile_chunk
+            xys[order],
+            proj.conics[order],
+            chan[order],
+            opacs[order],
+            bins,
+            H,
+            W,
+            cfg.max_per_tile,
+            cfg.tile_chunk,
         )
 
     final_T = out.final_T
