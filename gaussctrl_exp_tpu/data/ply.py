@@ -33,7 +33,49 @@ _PLY_DTYPES = {
 
 
 def read_ply_points(path: str | Path) -> tuple[np.ndarray, np.ndarray | None]:
-    """Read vertex positions (N, 3) float32 and colors (N, 3) uint8 (or None)."""
+    """Read vertex positions (N, 3) float32 and colors (N, 3) uint8 (or None).
+
+    Uses the native C++ reader (gaussctrl_exp_tpu/native/plyio.cpp) when the
+    toolchain is available; falls back to the pure-numpy parser below.
+    """
+    native = _read_ply_native(path)
+    if native is not None:
+        return native
+    return read_ply_points_numpy(path)
+
+
+def _read_ply_native(path: str | Path):
+    try:
+        from ..native import get_plyio
+    except ImportError:
+        return None
+    lib = get_plyio()
+    if lib is None:
+        return None
+    import ctypes
+
+    h = lib.ply_open(str(path).encode())
+    if not h:
+        return None
+    try:
+        n = lib.ply_num_vertices(h)
+        has_rgb = bool(lib.ply_has_rgb(h))
+        xyz = np.empty((n, 3), np.float32)
+        rgb = np.empty((n, 3), np.uint8) if has_rgb else None
+        rc = lib.ply_read(
+            h,
+            xyz.ctypes.data_as(ctypes.c_void_p),
+            rgb.ctypes.data_as(ctypes.c_void_p) if rgb is not None else None,
+        )
+        if rc != 0:
+            return None
+        return xyz, rgb
+    finally:
+        lib.ply_close(h)
+
+
+def read_ply_points_numpy(path: str | Path) -> tuple[np.ndarray, np.ndarray | None]:
+    """Pure-numpy fallback parser."""
     with open(path, "rb") as f:
         line = f.readline().strip()
         if line != b"ply":

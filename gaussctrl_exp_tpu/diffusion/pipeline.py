@@ -1,0 +1,196 @@
+"""The GaussCtrl edit pipeline: render_reverse → edit_images → write-back.
+
+Re-implements the reference's editing orchestration
+(/root/reference/gaussctrl/ad_pipeline.py:128-295) on the TPU stack:
+
+  render_reverse (:128-163):
+    for every (subsampled) training camera: render RGB + depth with the 3DGS
+    renderer, build the disparity hint (1/(d+1e-5), max-normalized, 3-channel,
+    :256-274), VAE-encode the render, run 20-step DDIM INVERSION conditioned
+    on the reverse prompt + depth ControlNet at guidance 0 → per-view ``z_0``;
+    optionally compute an object mask (Lang-SAM in the reference; here a
+    pluggable mask provider / precomputed masks, README.md:110-116 documents
+    masks as optional).
+
+  edit_images (:165-245):
+    select 4 deterministic-random reference views (seed 13789,
+    ad_pipeline.py:115-120), install the cross-view attention processor
+    (0.6 self / 0.4 reference mixing in the UNet, 0.0 in the ControlNet), and
+    regenerate chunks of ``chunk_size`` views + the 4 reference views from
+    their inverted latents with the edit prompt at CFG ``guidance_scale``;
+    composite the edited foreground over the unedited background with the
+    mask (:229-239) and write edited images back into the datamanager
+    (:241-242) for the fine-tuning phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import make_cross_view_processor
+from .sd_pipeline import SDControlNetPipeline, SDModels, encode_prompt_ids, simple_tokenize
+
+ADDED_PROMPT = "best quality, extremely detailed"
+NEGATIVE_PROMPT = (
+    "longbody, lowres, bad anatomy, bad hands, missing fingers, extra digit, "
+    "fewer digits, cropped, worst quality, low quality"
+)
+REF_VIEW_SEED = 13789  # ad_pipeline.py:117
+
+
+@dataclasses.dataclass
+class EditConfig:
+    edit_prompt: str = ""
+    reverse_prompt: str = ""
+    langsam_obj: str = ""
+    guidance_scale: float = 5.0
+    num_inference_steps: int = 20
+    chunk_size: int = 5
+    ref_view_num: int = 4
+    diffusion_ckpt: str = ""
+    self_attn_coeff_unet: float = 0.6  # ad_pipeline.py:169-174
+    self_attn_coeff_controlnet: float = 0.0
+    controlnet_conditioning_scale: float = 1.0
+    latent_size: int = 64  # 512² images → 64² latents
+
+
+def depth_to_disparity(depth: np.ndarray) -> np.ndarray:
+    """(H, W) depth → (H, W, 3) normalized disparity hint (ad_pipeline.py:256-274)."""
+    disparity = 1.0 / (np.asarray(depth, np.float32) + 1e-5)
+    disparity = disparity / max(float(disparity.max()), 1e-12)
+    return np.repeat(disparity[..., None], 3, axis=-1)
+
+
+def select_reference_views(view_num: int, ref_view_num: int = 4) -> list[int]:
+    """Deterministic-random anchor sampling (ad_pipeline.py:115-120)."""
+    anchors = [(view_num * i) // ref_view_num for i in range(ref_view_num)] + [view_num]
+    rng = random.Random(REF_VIEW_SEED)
+    return [rng.randint(anchor, anchors[i + 1]) for i, anchor in enumerate(anchors[:-1])]
+
+
+class GaussCtrlEditPipeline:
+    """Host-orchestrated edit loop over jitted device steps."""
+
+    def __init__(
+        self,
+        cfg: EditConfig,
+        models: Optional[SDModels] = None,
+        mask_provider: Optional[Callable[[np.ndarray, str], np.ndarray]] = None,
+        tokenizer: Optional[Callable[[list], np.ndarray]] = None,
+    ):
+        self.cfg = cfg
+        if models is None:
+            from .convert import load_sd_models
+
+            models = load_sd_models(cfg.diffusion_ckpt)
+        self.models = models
+        self.pipe = SDControlNetPipeline(models)
+        self.mask_provider = mask_provider
+        self.tokenize = tokenizer or simple_tokenize
+        # per-view caches (the reference stashes these in the dataset,
+        # gc_dataset.py metadata / update_datasets ad_pipeline.py:276-282)
+        self.z0: dict[int, np.ndarray] = {}
+        self.disparity: dict[int, np.ndarray] = {}
+        self.masks: dict[int, np.ndarray] = {}
+        self.unedited: dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def _encode(self, texts: list[str]) -> jnp.ndarray:
+        ids = jnp.asarray(self.tokenize(texts))
+        return encode_prompt_ids(self.models, ids)
+
+    # ------------------------------------------------------------------
+    def render_reverse(self, gs, datamanager, model_cfg) -> None:
+        """Render + invert every training view (ad_pipeline.py:128-163)."""
+        from ..models.gaussians import GaussianState
+        from ..models.splat_model import render_model
+
+        cfgp = self.cfg
+        rev_ctx = self._encode([f"{cfgp.reverse_prompt}, {ADDED_PROMPT}"])
+
+        render_jit = jax.jit(
+            lambda p, a, cam: render_model(GaussianState(p, a), cam, 30_000, model_cfg)
+        )
+        invert_jit = jax.jit(
+            lambda lat, hint: self.pipe.invert(
+                lat, rev_ctx, hint, cfgp.num_inference_steps,
+                cfgp.controlnet_conditioning_scale,
+            )
+        )
+        encode_jit = jax.jit(self.pipe.image_to_latent)
+
+        for idx in range(len(datamanager)):
+            cam = datamanager.camera(idx)
+            out = render_jit(gs.params, gs.alive, cam)
+            rgb = np.clip(np.asarray(out.rgb), 0, 1)
+            depth = np.asarray(out.depth)[..., 0]
+            disparity = depth_to_disparity(depth)
+            latents = encode_jit(jnp.asarray(rgb)[None])
+            z0 = invert_jit(latents, jnp.asarray(disparity)[None])
+            self.unedited[idx] = rgb
+            self.disparity[idx] = disparity
+            self.z0[idx] = np.asarray(z0[0])
+            if self.mask_provider is not None and cfgp.langsam_obj:
+                self.masks[idx] = np.asarray(
+                    self.mask_provider(rgb, cfgp.langsam_obj), np.float32
+                )
+            print(f"[render_reverse] view {idx+1}/{len(datamanager)}", end="\r")
+        print()
+
+    # ------------------------------------------------------------------
+    def edit_images(self, datamanager) -> None:
+        """Chunked cross-view-consistent regeneration (ad_pipeline.py:165-245)."""
+        cfgp = self.cfg
+        V = len(datamanager)
+        ref_indices = select_reference_views(V, cfgp.ref_view_num)
+        other = [i for i in range(V) if i not in ref_indices]
+
+        pos_ctx = self._encode([f"{cfgp.edit_prompt}, {ADDED_PROMPT}"])
+        neg_ctx = self._encode([NEGATIVE_PROMPT])
+
+        proc_unet = make_cross_view_processor(cfgp.self_attn_coeff_unet, cfgp.ref_view_num)
+
+        def gen(z0_batch, hint_batch):
+            B = z0_batch.shape[0]
+            return self.pipe.generate(
+                z0_batch,
+                jnp.broadcast_to(pos_ctx, (B,) + pos_ctx.shape[1:]),
+                jnp.broadcast_to(neg_ctx, (B,) + neg_ctx.shape[1:]),
+                hint_batch,
+                cfgp.guidance_scale,
+                cfgp.num_inference_steps,
+                cfgp.controlnet_conditioning_scale,
+                processor=proc_unet,
+            )
+
+        gen_jit = jax.jit(gen)
+        decode_jit = jax.jit(self.pipe.latent_to_image)
+
+        ref_z0 = np.stack([self.z0[i] for i in ref_indices])
+        ref_disp = np.stack([self.disparity[i] for i in ref_indices])
+
+        for c0 in range(0, len(other), cfgp.chunk_size):
+            chunk = other[c0 : c0 + cfgp.chunk_size]
+            batch_idx = ref_indices + chunk  # refs first (frames 0..3, utils.py:102-105)
+            z0 = jnp.asarray(np.concatenate([ref_z0, np.stack([self.z0[i] for i in chunk])]))
+            hint = jnp.asarray(
+                np.concatenate([ref_disp, np.stack([self.disparity[i] for i in chunk])])
+            )
+            latents = gen_jit(z0, hint)
+            images = np.asarray(decode_jit(latents))
+            for bi, view in enumerate(batch_idx):
+                if bi < len(ref_indices) and c0 > 0:
+                    continue  # refs written on the first chunk only
+                edited = images[bi]
+                if view in self.masks:
+                    m = self.masks[view][..., None]
+                    edited = edited * m + self.unedited[view] * (1 - m)  # :233-239
+                datamanager.write_back(view, edited)
+            print(f"[edit_images] {min(c0+cfgp.chunk_size, len(other))}/{len(other)} views", end="\r")
+        print()

@@ -54,19 +54,16 @@ def rgb_to_sh_dc(rgb: jnp.ndarray) -> jnp.ndarray:
     return (rgb - 0.5) / SH_C0
 
 
-def mean_knn_distance(points: np.ndarray, k: int = 3, block: int = 2048) -> np.ndarray:
+def mean_knn_distance(points: np.ndarray, k: int = 3) -> np.ndarray:
     """Host-side mean distance to k nearest neighbors (splatfacto scale init)."""
     n = points.shape[0]
-    out = np.empty(n, np.float32)
-    for s in range(0, n, block):
-        chunk = points[s : s + block]  # (B, 3)
-        d2 = ((chunk[:, None, :] - points[None, :, :]) ** 2).sum(-1)  # (B, N)
-        # k+1 smallest includes self (distance 0)
-        idx = np.argpartition(d2, min(k, n - 1), axis=1)[:, : k + 1]
-        dists = np.sqrt(np.take_along_axis(d2, idx, axis=1))
-        dists = np.sort(dists, axis=1)[:, 1 : k + 1]
-        out[s : s + block] = dists.mean(axis=1)
-    return out
+    if n <= k:
+        return np.full(n, 0.01, np.float32)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    dists, _ = tree.query(points, k=k + 1)  # includes self at distance 0
+    return dists[:, 1:].mean(axis=1).astype(np.float32)
 
 
 def init_from_points(

@@ -51,7 +51,9 @@ def _resolve_impl(impl: str) -> str:
         return impl
     import jax
 
-    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    # anything that isn't the CPU interpreter gets the Pallas kernels (the
+    # TPU backend is named "axon" under the remote tunnel, not "tpu")
+    return "jnp" if jax.default_backend() == "cpu" else "pallas"
 
 
 def render(
