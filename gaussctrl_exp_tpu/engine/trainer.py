@@ -43,6 +43,12 @@ class TrainConfig:
     densify: DensifyConfig = DensifyConfig()
     model: SplatModelConfig = SplatModelConfig()
     seed: int = 42
+    # camera pose optimization (reference "camera_opt" group,
+    # gc_config.py:50,84-87: lr 1e-3 → 5e-5, gradient accumulation 100)
+    camera_opt: bool = False
+    camera_opt_lr: float = 1e-3
+    camera_opt_lr_final: float = 5e-5
+    camera_opt_accum: int = 100
 
 
 class TrainState(NamedTuple):
@@ -52,10 +58,27 @@ class TrainState(NamedTuple):
     stats: DensifyStats
     step: jnp.ndarray
     key: jax.Array
+    cam_deltas: Optional[jnp.ndarray] = None  # (V, 6) pose adjustments
+    cam_opt_state: Optional[optax.OptState] = None
 
 
-def init_train_state(gs: GaussianState, cfg: TrainConfig, optimizer=None) -> TrainState:
+def make_camera_optimizer(cfg: TrainConfig):
+    from .optimizers import exp_decay
+
+    inner = optax.adam(
+        exp_decay(cfg.camera_opt_lr, cfg.camera_opt_lr_final, cfg.max_steps), eps=1e-15
+    )
+    return optax.MultiSteps(inner, every_k_schedule=cfg.camera_opt_accum)
+
+
+def init_train_state(
+    gs: GaussianState, cfg: TrainConfig, optimizer=None, num_views: int = 0
+) -> TrainState:
     optimizer = optimizer or make_gaussian_optimizer(max_steps=cfg.max_steps)
+    cam_deltas = cam_opt_state = None
+    if cfg.camera_opt and num_views > 0:
+        cam_deltas = jnp.zeros((num_views, 6))
+        cam_opt_state = make_camera_optimizer(cfg).init(cam_deltas)
     return TrainState(
         params=gs.params,
         alive=gs.alive,
@@ -63,21 +86,30 @@ def init_train_state(gs: GaussianState, cfg: TrainConfig, optimizer=None) -> Tra
         stats=DensifyStats.zero(gs.params.capacity),
         step=jnp.zeros((), jnp.int32),
         key=jax.random.PRNGKey(cfg.seed),
+        cam_deltas=cam_deltas,
+        cam_opt_state=cam_opt_state,
     )
 
 
 def make_train_step(cfg: TrainConfig, optimizer=None):
     optimizer = optimizer or make_gaussian_optimizer(max_steps=cfg.max_steps)
+    cam_optimizer = make_camera_optimizer(cfg) if cfg.camera_opt else None
 
     @jax.jit
-    def train_step(state: TrainState, camera: Camera, gt: jnp.ndarray):
+    def train_step(state: TrainState, camera: Camera, gt: jnp.ndarray, view_idx=0):
         key, bg_key = jax.random.split(state.key)
         img_max_dim = float(max(camera.width, camera.height))
+        use_cam = cfg.camera_opt and state.cam_deltas is not None
 
-        def loss_fn(params: GaussianParams, xys_offset: jnp.ndarray):
+        def loss_fn(params: GaussianParams, xys_offset: jnp.ndarray, cam_deltas):
+            cam = camera
+            if use_cam:
+                from ..models.camera_opt import apply_pose_delta
+
+                cam = apply_pose_delta(camera, cam_deltas[view_idx])
             out = render_model(
                 GaussianState(params, state.alive),
-                camera,
+                cam,
                 state.step,
                 cfg.model,
                 training=True,
@@ -88,12 +120,18 @@ def make_train_step(cfg: TrainConfig, optimizer=None):
             return loss, (out, metrics)
 
         xys_offset = jnp.zeros((state.params.capacity, 2))
-        (loss, (out, metrics)), (pgrads, xys_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, xys_offset)
+        cam_deltas = state.cam_deltas if use_cam else jnp.zeros((1, 6))
+        (loss, (out, metrics)), (pgrads, xys_grad, cgrads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, xys_offset, cam_deltas)
 
         updates, opt_state = optimizer.update(pgrads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        new_cam_deltas, new_cam_opt = state.cam_deltas, state.cam_opt_state
+        if use_cam:
+            cupd, new_cam_opt = cam_optimizer.update(cgrads, state.cam_opt_state, cam_deltas)
+            new_cam_deltas = optax.apply_updates(cam_deltas, cupd)
 
         stats = accumulate_stats(state.stats, xys_grad, out.render.proj.radii, img_max_dim)
         new_state = TrainState(
@@ -103,6 +141,8 @@ def make_train_step(cfg: TrainConfig, optimizer=None):
             stats=stats,
             step=state.step + 1,
             key=key,
+            cam_deltas=new_cam_deltas,
+            cam_opt_state=new_cam_opt,
         )
         metrics = dict(metrics)
         metrics["n_isects"] = out.render.bins.n_isects
@@ -125,7 +165,9 @@ def make_refine_step(cfg: TrainConfig, img_max_dim: float):
             img_max_dim,
         )
         return (
-            TrainState(gs.params, gs.alive, opt_state, stats, state.step, key),
+            state._replace(
+                params=gs.params, alive=gs.alive, opt_state=opt_state, stats=stats, key=key
+            ),
             info,
         )
 
@@ -138,7 +180,7 @@ def make_reset_opacity_step(cfg: TrainConfig):
         gs, opt_state = reset_opacity(
             GaussianState(state.params, state.alive), state.opt_state, cfg.densify
         )
-        return TrainState(gs.params, gs.alive, opt_state, state.stats, state.step, state.key)
+        return state._replace(params=gs.params, alive=gs.alive, opt_state=opt_state)
 
     return reset_step
 
@@ -150,7 +192,7 @@ class Trainer:
         self.cfg = cfg
         self.dm = datamanager
         self.optimizer = make_gaussian_optimizer(max_steps=cfg.max_steps)
-        self.state = init_train_state(gs, cfg, self.optimizer)
+        self.state = init_train_state(gs, cfg, self.optimizer, num_views=len(datamanager))
         self.train_step = make_train_step(cfg, self.optimizer)
         self.refine_step = make_refine_step(
             cfg, float(max(self.dm.width, self.dm.height))
@@ -164,7 +206,9 @@ class Trainer:
         for _ in range(num_steps):
             view_idx, gt = self.dm.next_train()
             camera = self.dm.camera(view_idx)
-            self.state, metrics = self.train_step(self.state, camera, jnp.asarray(gt))
+            self.state, metrics = self.train_step(
+                self.state, camera, jnp.asarray(gt), jnp.int32(view_idx)
+            )
             self.step += 1
 
             # AFTER_TRAIN_ITERATION callbacks (densify/prune/opacity reset)

@@ -78,10 +78,38 @@ def project_gaussians(
     tz = p_view[:, 2]
     in_front = tz > clip_thresh
 
-    # --- 3D covariance
-    R = quat_to_rotmat(quats.astype(f32))
-    M = R * (scales.astype(f32) * glob_scale)[:, None, :]
-    cov3d = M @ jnp.swapaxes(M, -1, -2)  # (N, 3, 3)
+    # --- 3D covariance Σ = (R·S)(R·S)ᵀ, all explicit component algebra:
+    # XLA lowers batched tiny matmuls poorly (measured ~1.4 ms for N=35k);
+    # written out as (N,) vector ops the whole projection is pure VPU work.
+    q = quats.astype(f32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s = scales.astype(f32) * glob_scale
+    s0sq, s1sq, s2sq = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+    # Σ = R diag(s²) Rᵀ (upper triangle)
+    c00 = r00 * r00 * s0sq + r01 * r01 * s1sq + r02 * r02 * s2sq
+    c01 = r00 * r10 * s0sq + r01 * r11 * s1sq + r02 * r12 * s2sq
+    c02 = r00 * r20 * s0sq + r01 * r21 * s1sq + r02 * r22 * s2sq
+    c11 = r10 * r10 * s0sq + r11 * r11 * s1sq + r12 * r12 * s2sq
+    c12 = r10 * r20 * s0sq + r11 * r21 * s1sq + r12 * r22 * s2sq
+    c22 = r20 * r20 * s0sq + r21 * r21 * s1sq + r22 * r22 * s2sq
+    cov3d = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        axis=-2,
+    )
 
     # --- EWA 2D covariance with FOV-limited Jacobian
     tan_fovx = 0.5 * img_width / fx
@@ -93,21 +121,29 @@ def project_gaussians(
     ty = jnp.clip(p_view[:, 1] / tz_safe, -lim_y, lim_y) * tz_safe
     rz = 1.0 / tz_safe
     rz2 = rz * rz
-    # J (N, 2, 3)
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * rz, zeros, -fx * tx * rz2], axis=-1),
-            jnp.stack([zeros, fy * rz, -fy * ty * rz2], axis=-1),
-        ],
-        axis=-2,
-    )
-    T = J @ Rv  # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
+    # J rows: (fx·rz, 0, −fx·tx·rz²), (0, fy·rz, −fy·ty·rz²); T = J @ Rv
+    j02 = -fx * tx * rz2
+    j12 = -fy * ty * rz2
+    Rv00, Rv01, Rv02 = Rv[0, 0], Rv[0, 1], Rv[0, 2]
+    Rv10, Rv11, Rv12 = Rv[1, 0], Rv[1, 1], Rv[1, 2]
+    Rv20, Rv21, Rv22 = Rv[2, 0], Rv[2, 1], Rv[2, 2]
+    t00 = fx * rz * Rv00 + j02 * Rv20
+    t01 = fx * rz * Rv01 + j02 * Rv21
+    t02 = fx * rz * Rv02 + j02 * Rv22
+    t10 = fy * rz * Rv10 + j12 * Rv20
+    t11 = fy * rz * Rv11 + j12 * Rv21
+    t12 = fy * rz * Rv12 + j12 * Rv22
+    # cov2d = T Σ Tᵀ (2×2 symmetric, expanded)
+    w00 = t00 * c00 + t01 * c01 + t02 * c02
+    w01 = t00 * c01 + t01 * c11 + t02 * c12
+    w02 = t00 * c02 + t01 * c12 + t02 * c22
+    w10 = t10 * c00 + t11 * c01 + t12 * c02
+    w11 = t10 * c01 + t11 * c11 + t12 * c12
+    w12 = t10 * c02 + t11 * c12 + t12 * c22
     # low-pass: splat is at least ~1px wide (gsplat adds 0.3 to the diagonal)
-    a = cov2d[:, 0, 0] + 0.3
-    b_ = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    a = w00 * t00 + w01 * t01 + w02 * t02 + 0.3
+    b_ = w00 * t10 + w01 * t11 + w02 * t12
+    c = w10 * t10 + w11 * t11 + w12 * t12 + 0.3
 
     det = a * c - b_ * b_
     det_valid = det != 0.0

@@ -18,25 +18,27 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
+def _gaussian_kernel_1d(size: int, sigma: float) -> np.ndarray:
     x = np.arange(size, dtype=np.float64) - (size - 1) / 2
     g = np.exp(-(x**2) / (2 * sigma**2))
     g /= g.sum()
-    return (g[:, None] * g[None, :]).astype(np.float32)
+    return g.astype(np.float32)
 
 
-def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) valid-mode depthwise filter."""
+def _filter2d(img: jnp.ndarray, kernel1d: np.ndarray) -> jnp.ndarray:
+    """(H, W, C) valid-mode depthwise gaussian filter — separable (two 1D
+    passes: 2·k taps instead of k², ~5× less VPU work at k=11)."""
     C = img.shape[-1]
-    k = jnp.asarray(kernel)[:, :, None, None]  # (kh, kw, 1, 1)
-    k = jnp.tile(k, (1, 1, 1, C))  # depthwise
+    k = jnp.asarray(kernel1d)
+    kh = jnp.tile(k[:, None, None, None], (1, 1, 1, C))  # (k, 1, 1, C)
+    kw = jnp.tile(k[None, :, None, None], (1, 1, 1, C))
     out = jax.lax.conv_general_dilated(
-        img[None],
-        k,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C,
+        img[None], kh, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kw, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
     )
     return out[0]
 
@@ -51,7 +53,7 @@ def ssim(
     k2: float = 0.03,
 ) -> jnp.ndarray:
     """Mean SSIM between (H, W, C) images."""
-    kernel = _gaussian_kernel(kernel_size, sigma)
+    kernel = _gaussian_kernel_1d(kernel_size, sigma)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 

@@ -1,0 +1,24 @@
+#!/bin/bash
+# GaussCtrl stone_horse edit, TPU edition (mirrors /root/reference/scripts/stone_horse.sh):
+# 1. pretrain a 3DGS scene (the reference delegates this to `ns-train splatfacto`;
+#    here the same trainer covers it), 2. edit + finetune with the paper prompts.
+set -e
+DATA=${DATA:-/root/reference/data/stone_horse}
+OUT=${OUT:-outputs/stone_horse}
+
+# stage 1: splatfacto-style pretrain (30k steps in the paper; shorten via STEPS)
+python -m gaussctrl_exp_tpu.cli.train \
+  --data "$DATA" --output-dir "$OUT" --experiment-name pretrain \
+  --max-num-iterations "${STEPS:-30000}" --pipeline.render-rate "${STEPS:-30000}"
+
+# stage 2: GaussCtrl edit + finetune (requires converted SD+ControlNet weights
+# in $SD_CKPT; see gaussctrl_exp_tpu/diffusion/convert.py)
+python -m gaussctrl_exp_tpu.cli.train \
+  --data "$DATA" --output-dir "$OUT" --experiment-name edit \
+  --load-checkpoint "$OUT/pretrain/ckpts" \
+  --pipeline.edit-prompt "a photo of a zebra in the park" \
+  --pipeline.reverse-prompt "a photo of a stone horse sculpture in the park" \
+  --pipeline.langsam-obj "stone horse" \
+  --pipeline.guidance-scale 5 \
+  --pipeline.diffusion-ckpt "${SD_CKPT:-}" \
+  --max-num-iterations 1000 --pipeline.render-rate 500

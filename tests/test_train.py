@@ -202,3 +202,25 @@ class TestDensify:
             gs, opt_state, stats, jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
         )
         assert int(info["n_dropped"]) == 9  # 10 dups wanted, 1 slot free
+
+
+def test_camera_opt_accumulation():
+    """Camera deltas stay zero until the accumulation boundary, then move."""
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(40, capacity=64, sh_degree=0, seed=5)
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        ),
+        densify=DensifyConfig(warmup_length=10_000),
+        camera_opt=True,
+        camera_opt_accum=4,
+    )
+    trainer = Trainer(gs, dm, cfg)
+    assert trainer.state.cam_deltas.shape == (4, 6)
+    trainer.train(3, log_every=10)
+    assert float(jnp.abs(trainer.state.cam_deltas).max()) == 0.0  # still accumulating
+    trainer.train(2, log_every=10)
+    assert float(jnp.abs(trainer.state.cam_deltas).max()) > 0.0  # stepped at k=4
