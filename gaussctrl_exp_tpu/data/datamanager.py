@@ -171,3 +171,18 @@ class DataManager:
     def reset_images(self) -> None:
         """Viewer 'reset' behavior: restore unedited images (gc_trainer.py:136-144)."""
         self.images = self.unedited_images.copy()
+
+    def load_masks(self) -> dict[int, np.ndarray]:
+        """Precomputed object masks from the scene's ``mask_npy/`` sidecars
+        (gc_dataset.py:129-158), keyed by (subsetted) view index. Empty dict if
+        the scene has none — masks are optional (reference README.md:110-116)."""
+        out: dict[int, np.ndarray] = {}
+        files = self.parsed.mask_filenames
+        if not files:
+            return out
+        for local_i, global_i in enumerate(self.view_indices):
+            path = files[global_i]
+            if Path(path).exists():
+                m = np.load(path).astype(np.float32)
+                out[local_i] = m.squeeze()
+        return out

@@ -93,6 +93,8 @@ class GaussCtrlEditPipeline:
         self.pipe = SDControlNetPipeline(models)
         self.mask_provider = mask_provider
         self.tokenize = tokenizer or simple_tokenize
+        # callers may also preload per-view masks (e.g. DataManager.load_masks()
+        # reading the reference's mask_npy/ sidecars) into self.masks directly
         # per-view caches (the reference stashes these in the dataset,
         # gc_dataset.py metadata / update_datasets ad_pipeline.py:276-282)
         self.z0: dict[int, np.ndarray] = {}
