@@ -17,3 +17,16 @@ __all__ = [
     "SDModels",
     "init_random_models",
 ]
+
+from .geometry import bilinear_sample, depth_to_world_points, project_points
+from .triplane_attention import make_triplane_processor
+from .correspondence import build_correspondence_tables, make_epipolar_processor
+
+__all__ += [
+    "bilinear_sample",
+    "depth_to_world_points",
+    "project_points",
+    "make_triplane_processor",
+    "build_correspondence_tables",
+    "make_epipolar_processor",
+]
