@@ -71,10 +71,34 @@ def _render_cameras(gs, cameras, out_dir: Path, fmt: str, save_depth_npy: bool,
         print(f"rendered {i+1}/{len(cameras)}", end="\r")
     print()
     if video:
+        _write_video(out_dir, frames, fps)
+    return frames
+
+
+def _write_video(out_dir: Path, frames, fps: int) -> None:
+    """mp4 via ffmpeg/imageio when available, else animated GIF (this image
+    has no ffmpeg; the reference shells out to ffmpeg, gc_render.py:473)."""
+    try:
         import imageio
 
         imageio.mimwrite(out_dir / "render.mp4", frames, fps=fps)
-    return frames
+        return
+    except Exception:
+        pass
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg"):
+        cmd = ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+               str(out_dir / "frame_%05d.png"), "-pix_fmt", "yuv420p",
+               str(out_dir / "render.mp4")]
+        if subprocess.run(cmd, capture_output=True).returncode == 0:
+            return
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(out_dir / "render.gif", save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
 
 
 def cmd_dataset(args):
