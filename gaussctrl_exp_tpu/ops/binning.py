@@ -6,25 +6,37 @@ TPU-native replacement for gsplat v0.1.2's CUDA binning stage
 /root/reference/gaussctrl/gc_model.py:150-155,174-188 via ``num_tiles_hit`` /
 ``tile_bounds``).
 
-Design notes (everything static-shape, and — measured on v5e — NO scatters and
-NO searchsorted, both of which are order-of-magnitude slower than sorts/scans
-on TPU; the only gathers allowed on hot paths are lane-axis gathers from
-field-major arrays and small-index gathers):
+Design notes — everything static-shape, and shaped by costs MEASURED on this
+v5e (slope-timed, tunnel overhead subtracted):
 
-  1. Sort all N Gaussians by camera depth once (``argsort``). *Rank* = index
-     into depth-sorted arrays; per-tile depth order is inherited from ranks.
-  2. Expand Gaussian→tile intersections: with ``cum`` the exclusive cumsum of
-     per-Gaussian tile counts (rank order), each gaussian's rank is scattered…
-     no — *marked* at its first slot via a tiny ``.at[].max`` and filled with a
-     cummax scan; the k-th tile decodes from the tile bbox.
-  3. One stable sort by tile id carrying (rank, slot) payloads reproduces the
-     CUDA (tile, depth)-key radix sort; slot ids make the permutation
-     invertible for the backward pass.
-  4. Tile ranges via two small searchsorted calls (1 query per tile).
-  5. The CHUNK-aligned re-layout used by the Pallas kernels is *virtual*: per
-     chunk-of-128-slots metadata (owning tile, base offset) is derived by
-     broadcast expansion, and the aligned→sorted-slot permutation is affine
-     per tile — no materialized scatter.
+  * ``jax.lax.sort`` is nearly free: 262k keys + 8 f32 payloads ≈ 0.23 ms.
+  * lane gathers are fast ONLY from tables that fit VMEM (≤ ~8 MB): a
+    (16, 393k)←(16, 35k) gather is 0.6 ms, ←(16, 262k) is 3.9 ms.
+  * 1-row / 1-D gathers are pathological (~2.8 ms) regardless of table size.
+  * scatters other than tiny ``.at[].max`` marks are avoided entirely.
+
+Therefore every permutation here is a SORT, and every gather reads a
+small (≤ N-gaussian) table:
+
+  1. Sort all N Gaussians by camera depth (``argsort``). *Rank* = index into
+     depth-sorted arrays; per-tile depth order is inherited from ranks.
+  2. Expand Gaussian→tile intersections over ``capacity`` slots: each
+     gaussian's rank is marked at its first slot (``.at[].max``) and filled
+     with a cummax scan; per-slot (bbox, cum) come from ONE fused 4-row
+     small-table gather; the k-th tile decodes arithmetically.
+  3. One stable sort by tile id carrying ranks reproduces the CUDA
+     (tile, depth)-key radix sort.
+  4. Tile ranges via two searchsorted calls (1 query per tile).
+  5. The CHUNK-aligned layout the Pallas kernels stream is realized by a
+     KEY-SORT, not a gather: every real slot's aligned position (``fwdmap``)
+     is derived gather-free from a cummax-filled per-tile pad offset, 128
+     potential pad entries per tile get the remaining in-chunk positions, and
+     one (key, rank) sort of capacity+T·128 entries yields ``aligned_rank`` —
+     the gaussian rank occupying every aligned slot. The blend kernels then
+     need exactly one (NFIELD, aligned)←(NFIELD, N) small-table gather.
+     ``aligned_rank`` is also the backward's reduction key: sorting the
+     per-slot gradient stream by it groups slots per gaussian with segment
+     boundaries at ``cum`` (pre-sort slot order), scatter-free.
 
 Capacity is a static upper bound on total intersections; overflow is reported
 (not silently dropped) via ``n_isects`` vs ``capacity``.
@@ -40,6 +52,8 @@ import jax.numpy as jnp
 from .projection import ProjectedGaussians
 
 ALIGN = 128  # chunk size of the Pallas blend stream (= blend_pallas.CHUNK)
+_HUGE1 = 1 << 26  # sort-to-end key for invalid real slots
+_HUGE2 = 1 << 27  # sort-to-end key for unused pad entries
 
 
 class TileBins(NamedTuple):
@@ -47,11 +61,12 @@ class TileBins(NamedTuple):
     cum: jnp.ndarray  # (N,) exclusive cumsum of tile hits in rank order
     nt_sorted: jnp.ndarray  # (N,) tile hits in rank order
     sorted_rank: jnp.ndarray  # (capacity,) rank per tile-sorted slot
-    sorted_slot: jnp.ndarray  # (capacity,) pre-sort slot id per tile-sorted slot
-    sorted_tile: jnp.ndarray  # (capacity,) tile id per tile-sorted slot
-    tile_start: jnp.ndarray  # (T,) first sorted slot of each tile
+    tile_start: jnp.ndarray  # (T,) first tile-sorted slot of each tile
     tile_cnt: jnp.ndarray  # (T,) number of isects of each tile
-    aligned_start: jnp.ndarray  # (T,) ALIGN-multiple starts of the virtual layout
+    chunk_tile: jnp.ndarray  # (nc,) owning tile of each ALIGN-chunk
+    chunk_base: jnp.ndarray  # (nc,) within-tile slot offset of each chunk
+    chunk_cnt: jnp.ndarray  # (nc,) owning tile's isect count
+    aligned_rank: jnp.ndarray  # (aligned_capacity,) rank per aligned slot (N = pad)
     n_isects: jnp.ndarray  # () total intersections actually generated
     capacity: int
     aligned_capacity: int
@@ -72,10 +87,14 @@ def bin_gaussians(
     order = jnp.argsort(depth_key)  # stable ascending
 
     nt_sorted = proj.num_tiles_hit[order]  # (N,)
-    bbox_sorted = proj.tile_bbox[order]  # (N, 4)
-
     cum = jnp.cumsum(nt_sorted) - nt_sorted  # exclusive cumsum
     total = cum[-1] + nt_sorted[-1]
+
+    # fused small-table row block: bbox x0/y0/width + cum, all rank-indexed
+    bb_r = proj.tile_bbox[order]  # (N, 4) small
+    gtab = jnp.stack(
+        [bb_r[:, 0], bb_r[:, 1], jnp.maximum(bb_r[:, 2] - bb_r[:, 0], 1), cum], axis=0
+    )  # (4, N) int32
 
     # 2. slot → (rank, tile) decode via mark + cummax (no searchsorted)
     slots = jnp.arange(capacity, dtype=jnp.int32)
@@ -85,16 +104,14 @@ def bin_gaussians(
     rank = jax.lax.associative_scan(jnp.maximum, ranks_at_start)
     rank = jnp.clip(rank, 0, N - 1)
     valid = slots < jnp.minimum(total, capacity)
-    k = slots - cum[rank]
-    bb = bbox_sorted[rank]  # (capacity, 4) row gather, small source
-    bw = jnp.maximum(bb[:, 2] - bb[:, 0], 1)
-    tile = (bb[:, 1] + k // bw) * tiles_x + (bb[:, 0] + k % bw)
+    g4 = gtab[:, rank]  # (4, capacity) — ONE fast small-table gather
+    k = slots - g4[3]
+    bw = g4[2]
+    tile = (g4[1] + k // bw) * tiles_x + (g4[0] + k % bw)
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)  # sentinel past-end
 
     # 3. stable sort by tile id; stability keeps depth order within a tile
-    sorted_tile, sorted_rank, sorted_slot = jax.lax.sort(
-        (tile, rank, slots), num_keys=1, is_stable=True
-    )
+    sorted_tile, sorted_rank = jax.lax.sort((tile, rank), num_keys=1, is_stable=True)
 
     # 4. per-tile ranges (1024 queries — cheap)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -102,21 +119,59 @@ def bin_gaussians(
     tile_end = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
     tile_cnt = tile_end - tile_start
 
-    # 5. virtual ALIGN-padded layout
+    # 5. ALIGN-padded layout via KEY-SORT (no big-table gathers anywhere).
     aligned_capacity = _aligned_capacity(capacity, num_tiles)
     aligned_cnt = ((tile_cnt + ALIGN - 1) // ALIGN) * ALIGN
     aligned_start = (jnp.cumsum(aligned_cnt) - aligned_cnt).astype(jnp.int32)
+
+    # per-sorted-slot pad offset δ = aligned_start − tile_start, monotone in
+    # tile id → mark at tile_start, cummax fill (collisions resolve to the
+    # owning non-empty tile, which has the largest id and largest δ)
+    delta = aligned_start - tile_start  # (T,)
+    delta_fill = jax.lax.associative_scan(
+        jnp.maximum, jnp.zeros(capacity, jnp.int32).at[tile_start].max(delta, mode="drop")
+    )
+    fwdmap = slots + delta_fill  # aligned position of each tile-sorted slot
+    sorted_valid = slots < jnp.minimum(total, capacity)
+    real_key = jnp.where(sorted_valid, fwdmap, _HUGE1 + slots)
+    real_rank = jnp.where(sorted_valid, sorted_rank, N)
+
+    # 128 potential pad entries per tile; the first (aligned_cnt − cnt) land
+    # in the tail of the tile's last chunk, the rest sort past everything
+    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]  # (1, 128)
+    padcnt = (aligned_cnt - tile_cnt)[:, None]  # (T, 1)
+    pad_key = jnp.where(
+        j < padcnt,
+        (aligned_start + tile_cnt)[:, None] + j,
+        _HUGE2 + tids[:, None] * ALIGN + j,
+    ).reshape(-1)
+    pad_rank = jnp.full(pad_key.shape, N, jnp.int32)
+
+    _, aligned_rank = jax.lax.sort(
+        (jnp.concatenate([real_key, pad_key]), jnp.concatenate([real_rank, pad_rank])),
+        num_keys=1,
+        is_stable=True,
+    )  # (aligned_capacity,) rank per aligned slot, N where pad/invalid
+
+    # 6. per-chunk metadata (tile, base offset, count)
+    nc = aligned_capacity // ALIGN
+    cids = jnp.arange(nc, dtype=jnp.int32)
+    marks = jnp.zeros(nc, jnp.int32).at[aligned_start // ALIGN].max(tids, mode="drop")
+    chunk_tile = jax.lax.associative_scan(jnp.maximum, marks)
+    chunk_base = cids * ALIGN - aligned_start[chunk_tile]  # small gathers (nc from T)
+    chunk_cnt = tile_cnt[chunk_tile]
 
     return TileBins(
         order=order,
         cum=cum,
         nt_sorted=nt_sorted,
         sorted_rank=sorted_rank,
-        sorted_slot=sorted_slot,
-        sorted_tile=sorted_tile,
         tile_start=tile_start,
         tile_cnt=tile_cnt,
-        aligned_start=aligned_start,
+        chunk_tile=chunk_tile,
+        chunk_base=chunk_base,
+        chunk_cnt=chunk_cnt,
+        aligned_rank=aligned_rank,
         n_isects=total,
         capacity=capacity,
         aligned_capacity=aligned_capacity,

@@ -7,21 +7,24 @@ atomics in the backward; on TPU the same math is re-derived as dense streaming
 algebra shaped by measured v5e costs (sorts/scans/lane-gathers fast; scatters,
 row/column gathers and searchsorted slow):
 
-  * binning (ops/binning.py) provides depth-sorted per-tile slot lists and a
-    *virtual* CHUNK-aligned layout (per-tile starts rounded to 128) whose
-    aligned→sorted-slot map is affine per tile — derived by broadcast
-    expansion, never materialized by a scatter;
-  * all per-slot data movement is lane-axis gathers on field-major
-    (NFIELD × M) arrays — the only fast big-gather shape on TPU;
+  * binning (ops/binning.py) provides depth-sorted per-tile slot lists, a
+    *virtual* CHUNK-aligned layout (per-tile starts rounded to 128), per-chunk
+    metadata, and the two FUSED gather index maps — so the kernels here do
+    exactly one field-major lane gather into the aligned stream (fwd) and one
+    back out of it (bwd), and no permutation algebra is recomputed;
   * the kernel GRID ITERATES OVER CHUNKS of the aligned stream — Pallas
     auto-pipelines the (NFIELD × CHUNK) blocks (no manual DMA/semaphores);
     consecutive chunks of one tile revisit the same output block, which stays
     resident in VMEM (standard reduction pattern);
+  * padding chunks (static capacity slack) and chunks of tiles whose 256
+    pixels have ALL hit the transmittance floor are SKIPPED via ``pl.when`` —
+    the capacity tail costs only its block DMA, and the CUDA early-exit
+    ``break`` saves real work on dense tiles, not just a mask;
   * alphas for 256 pixels × 128 gaussians are one VPU block; the exclusive
     cumulative transmittance along the gaussian axis is ``exp(L @ U)`` with U
     strictly-upper-triangular ones — an MXU matmul — with per-pixel carry
     (T, done) in the output block's spare channels;
-  * the CUDA early-termination ``break`` (T ≤ 1e-4) is the monotone mask
+  * the per-element early-termination (T ≤ 1e-4) is the monotone mask
     ``T_after > 1e-4`` + carried done flag (exact break parity, no control
     flow).
 
@@ -30,8 +33,9 @@ residuals ``img`` and ``final_T``, the suffix sums the gradient needs satisfy
 ``suffix_u = img·g − prefix_u``, so one walk over the same chunk stream emits
 dL/d{xy, conic, color, opacity} per intersection slot as its own chunk-indexed
 output block — contiguous, race-free, no atomics. Slot gradients are reduced
-to per-gaussian gradients with lane gathers + a segmented cumsum-difference
-(slots of one gaussian are contiguous in pre-sort order), again scatter-free.
+to per-gaussian gradients with ONE lane gather (via the precomputed
+aligned→pre-sort map) + a segmented cumsum-difference (slots of one gaussian
+are contiguous in pre-sort order), again scatter-free.
 
 ops/blend.py is the differentiable jnp oracle; tests compare both paths in
 interpret mode and on hardware.
@@ -107,45 +111,53 @@ def _chunk_alphas(g, px, py, base, cnt):
     return aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis
 
 
-def _fwd_kernel(chunk_tile, chunk_base, chunk_cnt, g_ref, out_ref, *, tiles_x, n_chan):
+def _fwd_kernel(chunk_tile, chunk_base, chunk_cnt, g_ref, out_ref, done_s, *, tiles_x, n_chan):
     """One CHUNK of the intersection stream against its tile's 256 pixels.
 
     out block (1, P, 16): cols [0:n_chan) composited image, col 7 final_T,
     col 8 done flag. Revisited by consecutive chunks of the same tile.
+    Padding chunks (base ≥ cnt) and fully-done tiles skip all compute;
+    the all-pixels-done carry lives in SMEM (done_s) so the skip test is a
+    scalar read, not a strided column load.
     """
     c = pl.program_id(0)
     t = chunk_tile[c]
     base = chunk_base[c]
     cnt = chunk_cnt[c]
-    px, py = _pixel_coords(t, tiles_x)
 
     @pl.when(base == 0)
     def _():
         col = jax.lax.broadcasted_iota(jnp.int32, (P, 16), 1)
         out_ref[0] = jnp.where(col == 7, 1.0, 0.0)  # img=0, T=1, done=0
+        done_s[0] = 0
 
-    g = g_ref[:, :]  # (NFIELD, CHUNK)
-    aeff, one_minus, L, *_ = _chunk_alphas(g, px, py, base, cnt)
+    @pl.when((base < cnt) & (done_s[0] == 0))
+    def _():
+        px, py = _pixel_coords(t, tiles_x)
+        g = g_ref[:, :]  # (NFIELD, CHUNK)
+        aeff, one_minus, L, *_ = _chunk_alphas(g, px, py, base, cnt)
 
-    T_carry = out_ref[0, :, 7:8]
-    done = out_ref[0, :, 8:9] > 0.0
+        T_carry = out_ref[0, :, 7:8]
+        done = out_ref[0, :, 8:9] > 0.0
 
-    cum_excl = jnp.dot(L, _triu_strict(), preferred_element_type=jnp.float32)
-    T_excl = T_carry * jnp.exp(cum_excl)  # (P, CHUNK)
-    T_after = T_excl * one_minus
-    comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
-    w = jnp.where(comp, aeff * T_excl, 0.0)
+        cum_excl = jnp.dot(L, _triu_strict(), preferred_element_type=jnp.float32)
+        T_excl = T_carry * jnp.exp(cum_excl)  # (P, CHUNK)
+        T_after = T_excl * one_minus
+        comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
+        w = jnp.where(comp, aeff * T_excl, 0.0)
 
-    colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
-    contrib = jax.lax.dot_general(
-        w, colors, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (P, C)
-    out_ref[0, :, 0:n_chan] = out_ref[0, :, 0:n_chan] + contrib
+        colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+        contrib = jax.lax.dot_general(
+            w, colors, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (P, C)
+        out_ref[0, :, 0:n_chan] = out_ref[0, :, 0:n_chan] + contrib
 
-    T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
-    broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
-    out_ref[0, :, 7:8] = T_new
-    out_ref[0, :, 8:9] = jnp.where(done | broke, 1.0, 0.0)
+        T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
+        broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
+        done_new = jnp.where(done | broke, 1.0, 0.0)
+        out_ref[0, :, 7:8] = T_new
+        out_ref[0, :, 8:9] = done_new
+        done_s[0] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
 def _bwd_kernel(
@@ -157,6 +169,7 @@ def _bwd_kernel(
     gout_ref,
     sg_ref,
     state,
+    done_s,
     *,
     tiles_x,
     n_chan,
@@ -172,91 +185,80 @@ def _bwd_kernel(
     t = chunk_tile[c]
     base = chunk_base[c]
     cnt = chunk_cnt[c]
-    px, py = _pixel_coords(t, tiles_x)
-    tri = _triu_strict()
 
     @pl.when(base == 0)
     def _():
         col = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
         state[:, :] = jnp.where(col == 0, 1.0, 0.0)  # T=1, done=0, prefix_u=0
+        done_s[0] = 0
 
-    g = g_ref[:, :]
-    aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis = _chunk_alphas(g, px, py, base, cnt)
+    work = (base < cnt) & (done_s[0] == 0)
 
-    res = res_ref[0]  # (P, 16)
-    img = res[:, :n_chan]
-    T_final = res[:, 7:8]
-    gout = gout_ref[0]
-    g_img = gout[:, :n_chan]
-    g_T = gout[:, 7:8]
-    img_dot_g = jnp.sum(img * g_img, axis=1, keepdims=True)  # (P, 1)
-    gT_Tfinal = g_T * T_final
+    @pl.when(jnp.logical_not(work))
+    def _():
+        sg_ref[:, :] = jnp.zeros((NFIELD, CHUNK), jnp.float32)
 
-    T_carry = state[:, 0:1]
-    done = state[:, 1:2] > 0.0
-    prefix_u = state[:, 2:3]
+    @pl.when(work)
+    def _():
+        px, py = _pixel_coords(t, tiles_x)
+        tri = _triu_strict()
+        g = g_ref[:, :]
+        aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis = _chunk_alphas(g, px, py, base, cnt)
 
-    cum_excl = jnp.dot(L, tri, preferred_element_type=jnp.float32)
-    T_excl = T_carry * jnp.exp(cum_excl)
-    T_after = T_excl * one_minus
-    comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
-    compf = comp.astype(jnp.float32)
-    w = aeff * T_excl * compf
+        res = res_ref[0]  # (P, 16)
+        img = res[:, :n_chan]
+        T_final = res[:, 7:8]
+        gout = gout_ref[0]
+        g_img = gout[:, :n_chan]
+        g_T = gout[:, 7:8]
+        img_dot_g = jnp.sum(img * g_img, axis=1, keepdims=True)  # (P, 1)
+        gT_Tfinal = g_T * T_final
 
-    colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
-    cg = jnp.dot(g_img, colors, preferred_element_type=jnp.float32)  # (P, CHUNK)
-    u = w * cg
-    tri_incl = tri + jnp.eye(CHUNK, dtype=jnp.float32)
-    prefix_incl = prefix_u + jnp.dot(u, tri_incl, preferred_element_type=jnp.float32)
-    suffix = img_dot_g - prefix_incl  # Σ_{k>j} u_k (within + later chunks)
+        T_carry = state[:, 0:1]
+        done = state[:, 1:2] > 0.0
+        prefix_u = state[:, 2:3]
 
-    dalpha = compf * (T_excl * cg - (suffix + gT_Tfinal) / one_minus)
-    dsigma = -(op * vis) * dalpha  # gsplat: no gating on the 0.999 clamp
-    dopac = vis * dalpha
+        cum_excl = jnp.dot(L, tri, preferred_element_type=jnp.float32)
+        T_excl = T_carry * jnp.exp(cum_excl)
+        T_after = T_excl * one_minus
+        comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
+        compf = comp.astype(jnp.float32)
+        w = aeff * T_excl * compf
 
-    gdx = dsigma * (ca * dx + cb * dy)
-    gdy = dsigma * (cb * dx + cc * dy)
-    # color grads transposed: dC[c', k] = Σ_p g_img[p,c']·w[p,k]  (C, CHUNK)
-    dcolT = jax.lax.dot_general(
-        g_img, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+        cg = jnp.dot(g_img, colors, preferred_element_type=jnp.float32)  # (P, CHUNK)
+        u = w * cg
+        tri_incl = tri + jnp.eye(CHUNK, dtype=jnp.float32)
+        prefix_incl = prefix_u + jnp.dot(u, tri_incl, preferred_element_type=jnp.float32)
+        suffix = img_dot_g - prefix_incl  # Σ_{k>j} u_k (within + later chunks)
 
-    sg_ref[0:1, :] = jnp.sum(gdx, axis=0, keepdims=True)
-    sg_ref[1:2, :] = jnp.sum(gdy, axis=0, keepdims=True)
-    sg_ref[2:3, :] = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
-    sg_ref[3:4, :] = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
-    sg_ref[4:5, :] = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
-    sg_ref[5:6, :] = jnp.sum(dopac, axis=0, keepdims=True)
-    sg_ref[6 : 6 + n_chan, :] = dcolT
-    sg_ref[6 + n_chan :, :] = jnp.zeros((NFIELD - 6 - n_chan, CHUNK), jnp.float32)
+        dalpha = compf * (T_excl * cg - (suffix + gT_Tfinal) / one_minus)
+        dsigma = -(op * vis) * dalpha  # gsplat: no gating on the 0.999 clamp
+        dopac = vis * dalpha
 
-    T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
-    broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
-    state[:, 0:1] = T_new
-    state[:, 1:2] = jnp.where(done | broke, 1.0, 0.0)
-    state[:, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+        gdx = dsigma * (ca * dx + cb * dy)
+        gdy = dsigma * (cb * dx + cc * dy)
+        # color grads transposed: dC[c', k] = Σ_p g_img[p,c']·w[p,k]  (C, CHUNK)
+        dcolT = jax.lax.dot_general(
+            g_img, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
+        sg_ref[0:1, :] = jnp.sum(gdx, axis=0, keepdims=True)
+        sg_ref[1:2, :] = jnp.sum(gdy, axis=0, keepdims=True)
+        sg_ref[2:3, :] = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
+        sg_ref[3:4, :] = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
+        sg_ref[4:5, :] = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
+        sg_ref[5:6, :] = jnp.sum(dopac, axis=0, keepdims=True)
+        sg_ref[6 : 6 + n_chan, :] = dcolT
+        sg_ref[6 + n_chan :, :] = jnp.zeros((NFIELD - 6 - n_chan, CHUNK), jnp.float32)
 
-def _chunk_meta(bins: TileBins, num_tiles: int):
-    """Per-chunk (tile, base offset, tile cnt) + per-aligned-slot sorted-slot
-    permutation — all via broadcast expansion, no scatters or big gathers."""
-    nc = bins.aligned_capacity // CHUNK
-    cids = jnp.arange(nc, dtype=jnp.int32)
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    # tile of chunk c: mark tile ids at their first chunk, fill with cummax.
-    # Colliding empty tiles resolve to the larger id = the non-empty owner.
-    marks = jnp.zeros(nc, jnp.int32).at[bins.aligned_start // CHUNK].max(tids, mode="drop")
-    chunk_tile = jax.lax.associative_scan(jnp.maximum, marks)
-    astart_c = bins.aligned_start[chunk_tile]  # small gathers (nc from T)
-    tstart_c = bins.tile_start[chunk_tile]
-    cnt_c = bins.tile_cnt[chunk_tile]
-    chunk_base = cids * CHUNK - astart_c
-
-    # aligned slot → sorted slot (affine per tile, broadcast-expanded)
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)
-    perm = (tstart_c[:, None] + chunk_base[:, None] + lane[None, :]).reshape(-1)
-    perm = jnp.clip(perm, 0, bins.capacity - 1)
-    return chunk_tile, chunk_base, cnt_c, perm, nc
+        T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
+        broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
+        done_new = jnp.where(done | broke, 1.0, 0.0)
+        state[:, 0:1] = T_new
+        state[:, 1:2] = done_new
+        state[:, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+        done_s[0] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
 def _tiles_to_image(out_tiles, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
@@ -293,12 +295,30 @@ def _bins_tuple(bins: TileBins):
         bins.order,
         bins.cum,
         bins.nt_sorted,
-        bins.sorted_rank,
-        bins.sorted_slot,
-        bins.tile_start,
         bins.tile_cnt,
-        bins.aligned_start,
+        bins.chunk_tile,
+        bins.chunk_base,
+        bins.chunk_cnt,
+        bins.aligned_rank,
     )
+
+
+def _gather_cols_big(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Lane-gather columns of a possibly-large table without falling off the
+    TPU fast path: gathers are fast only when the table fits VMEM (measured
+    cliff between 8 MB and 16 MB on v5e), so split big tables into 2^17-lane
+    pieces and select."""
+    R, C = table.shape
+    H = 1 << 17
+    if C <= H:
+        return table[:, idx]
+    out = jnp.zeros((R, idx.shape[0]), table.dtype)
+    for p in range(0, C, H):
+        piece = table[:, p : p + H]
+        local = jnp.clip(idx - p, 0, piece.shape[1] - 1)
+        sel = (idx >= p) & (idx < p + H)
+        out = jnp.where(sel[None, :], piece[:, local], out)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -310,21 +330,20 @@ def _blend_core(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned
 
 
 def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned_capacity, interpret):
-    order, cum, nt_sorted, sorted_rank, sorted_slot, tile_start, tile_cnt, aligned_start = bins_arrays
-    bins = TileBins(
-        order, cum, nt_sorted, sorted_rank, sorted_slot, None, tile_start, tile_cnt,
-        aligned_start, None, capacity, aligned_capacity,
-    )
+    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
     n_chan = colors.shape[1]
+    nc = aligned_capacity // CHUNK
 
-    packed_orig = _pack_fields(xys, conics, colors, opacs)  # (16, N)
-    packed_rank = packed_orig[:, order]  # small lane gather
-    sorted_vals = packed_rank[:, sorted_rank]  # (16, cap) lane gather
-    chunk_tile, chunk_base, chunk_cnt, perm, nc = _chunk_meta(bins, num_tiles)
-    vals = sorted_vals[:, perm]  # (16, aligned_cap) lane gather
+    # rank-major fields with one extra zero column at index N: aligned_rank
+    # uses rank N as the pad sentinel, so pads gather zeros (then the kernel's
+    # slot<cnt mask drops them anyway). Both gathers read small (N-lane)
+    # tables — the measured fast path.
+    packed_rank = _pack_fields(xys, conics, colors, opacs)[:, order]  # (16, N)
+    fr = jnp.pad(packed_rank, ((0, 0), (0, 1)))
+    vals = fr[:, aligned_rank]  # (16, aligned_cap) small-table lane gather
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -335,6 +354,7 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
         out_specs=pl.BlockSpec(
             (1, P, 16), lambda c, ct, cb, cc_: (ct[c], 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
     out_tiles = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, n_chan=n_chan),
@@ -356,19 +376,15 @@ def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
 def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     vals, out_tiles, bins_arrays, N = res
-    order, cum, nt_sorted, sorted_rank, sorted_slot, tile_start, tile_cnt, aligned_start = bins_arrays
-    bins = TileBins(
-        order, cum, nt_sorted, sorted_rank, sorted_slot, None, tile_start, tile_cnt,
-        aligned_start, None, capacity, aligned_capacity,
-    )
+    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     g_img, g_finalT = cots
     n_chan = g_img.shape[-1]
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
+    nc = aligned_capacity // CHUNK
 
     gout = _image_to_tiles(g_img, g_finalT, tiles_y, tiles_x, n_chan)
-    chunk_tile, chunk_base, chunk_cnt, perm, nc = _chunk_meta(bins, num_tiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -381,7 +397,7 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
         out_specs=pl.BlockSpec(
             (NFIELD, CHUNK), lambda c, ct, cb, cc_: (0, c), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32), pltpu.SMEM((1,), jnp.int32)],
     )
     slot_grads = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, n_chan=n_chan),
@@ -391,37 +407,30 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     )(chunk_tile, chunk_base, chunk_cnt, vals, out_tiles, gout)
 
     # ---- slot grads (aligned layout) → per-gaussian grads, scatter-free ----
+    # Sorts are ~free on TPU (measured), big-table gathers are not: sort the
+    # gradient stream by aligned_rank. Real slots of rank g land contiguous at
+    # [cum[g], cum[g]+nt[g]) (exactly the pre-sort slot layout); pads/invalid
+    # slots carry rank N, sort past capacity, and hold exact zeros (the kernel
+    # writes zeros wherever slot ≥ cnt or the chunk was skipped).
     cap = capacity
-    slots = jnp.arange(cap, dtype=jnp.int32)
-    # aligned position of sorted slot j: affine per tile; per-slot tile params
-    # via mark + cummax over the (sorted) slot axis (no big gathers)
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    astart_s = jax.lax.associative_scan(
-        jnp.maximum, jnp.zeros(cap, jnp.int32).at[tile_start].max(aligned_start, mode="drop")
+    reordered = jax.lax.sort(
+        (aligned_rank,) + tuple(slot_grads[r] for r in range(NFIELD)),
+        num_keys=1,
+        is_stable=True,
     )
-    tstart_s = jax.lax.associative_scan(
-        jnp.maximum, jnp.zeros(cap, jnp.int32).at[tile_start].max(tile_start, mode="drop")
-    )
-    fwdmap = jnp.clip(astart_s + (slots - tstart_s), 0, aligned_capacity - 1)
-    sg_sorted = slot_grads[:, fwdmap]  # (16, cap) lane gather
+    sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (16, cap)
 
-    # sorted order → pre-sort slot order via the inverse sort permutation
-    _, inv = jax.lax.sort((sorted_slot, slots), num_keys=1, is_stable=True)
-    sg_slot = sg_sorted[:, inv]
-    # mask the sentinel tail (slots past the real intersections)
-    total = cum[-1] + nt_sorted[-1]
-    sg_slot = jnp.where(slots[None, :] < jnp.minimum(total, cap), sg_slot, 0.0)
-
-    # per-gaussian (rank) segment sums: slots of rank g are [cum[g], cum[g]+nt)
+    # per-gaussian (rank) segment sums: cumsum + ends difference
     prefix = jnp.cumsum(sg_slot, axis=1)  # (16, cap)
     hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)
     lo_idx = jnp.clip(cum - 1, 0, cap - 1)
-    hi = prefix[:, hi_idx]
-    lo = jnp.where((cum > 0)[None, :], prefix[:, lo_idx], 0.0)
+    hi = _gather_cols_big(prefix, hi_idx)
+    lo = jnp.where((cum > 0)[None, :], _gather_cols_big(prefix, lo_idx), 0.0)
     g_rank = jnp.where((nt_sorted > 0)[None, :], hi - lo, 0.0)  # (16, N)
 
-    # unsort ranks → original gaussian order
-    inv_order = jnp.zeros(N, jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
+    # unsort ranks → original gaussian order (small sort)
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
     g_orig = g_rank[:, inv_order]
 
     d_xys = jnp.stack([g_orig[0], g_orig[1]], axis=-1)

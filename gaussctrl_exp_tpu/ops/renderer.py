@@ -106,9 +106,12 @@ def render(
     impl = _resolve_impl(cfg.impl)
     if impl == "pallas":
         # pallas path takes original-order arrays (sorts internally via bins)
+        import jax
+
         from .blend_pallas import rasterize_tiles_pallas
 
-        out = rasterize_tiles_pallas(xys, proj.conics, chan, opacs, bins, H, W)
+        interpret = jax.default_backend() == "cpu"  # CPU has no Mosaic — interpret
+        out = rasterize_tiles_pallas(xys, proj.conics, chan, opacs, bins, H, W, interpret=interpret)
     else:
         order = bins.order
         out = blend_jnp.rasterize_tiles_jnp(
