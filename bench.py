@@ -13,8 +13,11 @@ published in-repo (BASELINE.md "published: none"), so we use 10 ms/frame — a
 mid-range measured figure for gsplat 0.1.x full fwd+bwd at 512² / ~35k
 gaussians on A5000-class GPUs — i.e. 26.2 Mpix/s. vs_baseline = ours / that.
 
-Timing is relay-proof: K iterations inside one jit (fori_loop, perturbed
-input), one dispatch (see scripts/bench_stages.py for why).
+Timing is relay-proof AND overhead-proof: the axon relay adds ~30 ms fixed
+per-dispatch overhead, so the reported time is the SLOPE between a 5- and a
+50-iteration fori_loop (one jit each, input perturbed via the carried value so
+iterations can't be elided), with the result fetched to host. See
+scripts/bench_stages.py for the methodology notes.
 """
 
 import json
@@ -37,7 +40,7 @@ from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 S = 512
 CAP = 1 << 18
-K = 20
+K = 50
 BASELINE_MPIX_S = 512 * 512 / 10e-3 / 1e6  # gsplat A5000-class: ~10 ms/frame
 
 BEAR_PLY = Path("/root/reference/data/bear/sparse_pc.ply")
@@ -90,18 +93,28 @@ def main():
         loss, _ = splatfacto_loss(rgb, target)
         return loss
 
-    @jax.jit
-    def run(m0):
-        def body(i, carry):
-            m = m0 + (carry[0, 0] * 1e-12 + i * 1e-9)
-            return jax.grad(loss_fn)(m)[:, :2]
+    def make_run(K):
+        @jax.jit
+        def run(m0):
+            def body(i, carry):
+                m = m0 + carry[:1, :1] * 1e-30
+                return carry + jax.grad(loss_fn)(m)[:2, :2] * 1e-6
 
-        return jax.lax.fori_loop(0, K, body, jnp.zeros((N, 2)))
+            return jax.lax.fori_loop(0, K, body, jnp.zeros((2, 2)))
 
-    jax.block_until_ready(run(means))  # compile
-    t0 = time.time()
-    jax.block_until_ready(run(means))
-    ms_per_frame = (time.time() - t0) / K * 1e3
+        return run
+
+    walls = {}
+    for Ki in (5, K):
+        run = make_run(Ki)
+        jax.device_get(run(means))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_get(run(means))
+            best = min(best, time.time() - t0)
+        walls[Ki] = best
+    ms_per_frame = (walls[K] - walls[5]) / (K - 5) * 1e3
     mpix_s = S * S / (ms_per_frame / 1e3) / 1e6
 
     print(

@@ -413,15 +413,16 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     # slots carry rank N, sort past capacity, and hold exact zeros (the kernel
     # writes zeros wherever slot ≥ cnt or the chunk was skipped).
     cap = capacity
+    nrow = 6 + n_chan  # rows beyond this are structural zero padding
     reordered = jax.lax.sort(
-        (aligned_rank,) + tuple(slot_grads[r] for r in range(NFIELD)),
+        (aligned_rank,) + tuple(slot_grads[r] for r in range(nrow)),
         num_keys=1,
         is_stable=True,
     )
-    sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (16, cap)
+    sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (nrow, cap)
 
     # per-gaussian (rank) segment sums: cumsum + ends difference
-    prefix = jnp.cumsum(sg_slot, axis=1)  # (16, cap)
+    prefix = jnp.cumsum(sg_slot, axis=1)  # (nrow, cap)
     hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)
     lo_idx = jnp.clip(cum - 1, 0, cap - 1)
     hi = _gather_cols_big(prefix, hi_idx)

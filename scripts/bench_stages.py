@@ -1,11 +1,17 @@
-"""Stage-level device-time benchmark (relay-proof).
+"""Stage-level device-time benchmark (relay-proof, slope-timed).
 
-The axon relay memoizes identical executions and adds per-call overhead, so
-wall-clock around repeated `f(x)` calls lies in both directions. This harness
-times K iterations of the stage INSIDE one jit (fori_loop, input perturbed per
-iteration, output carried) — one dispatch, real device time.
+Two sources of lies on this setup, both defeated here:
 
-Usage: python scripts/bench_stages.py [N] [S] [iters]
+  * the axon relay adds a large fixed per-dispatch overhead (~30 ms RTT) and
+    `block_until_ready` does not reliably block for small outputs — so each
+    measurement fetches the result to host and the reported time is the SLOPE
+    between a K_LO- and K_HI-iteration fori_loop (fixed overhead cancels);
+  * XLA dead-code-eliminates whatever a stage doesn't consume — so every
+    stage consumes ALL of its outputs (a few lanes of each array), otherwise
+    "binning" quietly excludes the index machinery that the blend stage pays
+    for.
+
+Usage: python scripts/bench_stages.py [N] [S]
 """
 
 import sys
@@ -25,9 +31,9 @@ from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 CAP = 1 << 18
 TX = TY = (S + 15) // 16
+K_LO, K_HI = 5, 50
 
 rng = np.random.default_rng(0)
 means = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32) * 0.8)
@@ -42,61 +48,67 @@ vm, pm, fm = camera_matrices(cam)
 target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
 
 
-def timed_loop(stage_fn, out_example):
-    """stage_fn(means_perturbed) -> array; loops K times inside one jit."""
+def slope_time(stage_fn):
+    """stage_fn(means) -> (2,2)-ish array. Returns ms/iteration."""
+    walls = {}
+    for K in (K_LO, K_HI):
 
-    @jax.jit
-    def run(m0):
-        def body(i, carry):
-            # perturb input with the carry so iterations can't be elided/reordered
-            m = m0 + (carry[0, 0] * 1e-12 + i * 1e-9)
-            out = stage_fn(m)
-            return out.astype(jnp.float32)
+        @jax.jit
+        def run(m0):
+            def body(i, acc):
+                out = stage_fn(m0 + acc[:1, :1] * 1e-30)
+                return acc + out.reshape(-1)[:4].reshape(2, 2).astype(jnp.float32) * 1e-6
 
-        return jax.lax.fori_loop(0, K, body, jnp.zeros_like(out_example))
+            return jax.lax.fori_loop(0, K, body, jnp.zeros((2, 2)))
 
-    jax.block_until_ready(run(means))  # compile
-    t = time.time()
-    jax.block_until_ready(run(means))
-    return (time.time() - t) / K * 1e3
+        jax.device_get(run(means))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_get(run(means))  # device_get forces a real fetch
+            best = min(best, time.time() - t0)
+        walls[K] = best
+    return (walls[K_HI] - walls[K_LO]) / (K_HI - K_LO) * 1e3
 
 
 def stage_proj(m):
     p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
-    return p.xys
+    return p.xys[:2, :2] + p.conics[:2, :2] + p.depths[:2, None]
 
 
 def stage_bins(m):
     p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
     b = bin_gaussians(p, TX, TY, CAP)
-    return b.sorted_rank[:N].astype(jnp.float32).reshape(-1, 1) * jnp.ones((1, 2))
+    # consume every output so nothing is DCE'd into a later stage
+    return (
+        b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
+        + b.chunk_cnt[:4] + b.cum[:4] + b.nt_sorted[:4] + b.order[:4]
+        + b.tile_start[:4] + b.tile_cnt[:4]
+    ).astype(jnp.float32)
 
 
-def stage_full(m):
+def stage_fwd(m):
     p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
     b = bin_gaussians(p, TX, TY, CAP)
-    o = b.order
-    out = rasterize_tiles_pallas(p.xys[o], p.conics[o], colors[o], opacs[o], b, S, S)
-    return out.img[:, :, :2].reshape(-1, 2)[:N]
+    out = rasterize_tiles_pallas(p.xys, p.conics, colors, opacs, b, S, S)
+    return out.img[:2, :2, 0] + out.final_T[:2, :2]
 
 
 def stage_fwd_bwd(m):
     def loss_fn(mm):
         p = project_gaussians(mm, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
         b = bin_gaussians(p, TX, TY, CAP)
-        o = b.order
-        out = rasterize_tiles_pallas(p.xys[o], p.conics[o], colors[o], opacs[o], b, S, S)
+        out = rasterize_tiles_pallas(p.xys, p.conics, colors, opacs, b, S, S)
         rgb = jnp.minimum(out.img[:, :, :3], 1.0)
         loss, _ = splatfacto_loss(rgb, target)
         return loss
 
-    return jax.grad(loss_fn)(m)[:, :2]
+    return jax.grad(loss_fn)(m)[:2, :2]
 
 
 if __name__ == "__main__":
-    ex2 = jnp.zeros((N, 2))
-    print(f"N={N} S={S} iters={K} (device-time per iteration)")
-    print(f"projection:      {timed_loop(stage_proj, ex2):8.2f} ms")
-    print(f"+ binning:       {timed_loop(stage_bins, ex2):8.2f} ms")
-    print(f"+ blend (fwd):   {timed_loop(stage_full, ex2):8.2f} ms")
-    print(f"full fwd+bwd:    {timed_loop(stage_fwd_bwd, ex2):8.2f} ms")
+    print(f"N={N} S={S} slope-timed ms/iteration (K={K_LO}->{K_HI})")
+    print(f"projection:      {slope_time(stage_proj):8.2f} ms")
+    print(f"+ binning:       {slope_time(stage_bins):8.2f} ms")
+    print(f"+ blend (fwd):   {slope_time(stage_fwd):8.2f} ms")
+    print(f"full fwd+bwd:    {slope_time(stage_fwd_bwd):8.2f} ms")
