@@ -33,13 +33,12 @@ import numpy as np
 
 from gaussctrl_exp_tpu.cameras import camera_matrices, look_at, make_camera
 from gaussctrl_exp_tpu.data.ply import read_ply_points
-from gaussctrl_exp_tpu.ops.binning import bin_gaussians
+from gaussctrl_exp_tpu.ops.binning import bin_gaussians, estimate_capacity
 from gaussctrl_exp_tpu.ops.blend_pallas import rasterize_tiles_pallas
 from gaussctrl_exp_tpu.ops.projection import project_gaussians
 from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 S = 512
-CAP = 1 << 18
 K = 50
 BASELINE_MPIX_S = 512 * 512 / 10e-3 / 1e6  # gsplat A5000-class: ~10 ms/frame
 
@@ -83,9 +82,22 @@ def main():
     rng = np.random.default_rng(1)
     target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
 
+    # static capacity chosen like the trainer does: one host-side projection,
+    # estimate_capacity picks the bucket (slack covers the per-step drift)
+    p0 = jax.jit(
+        lambda m: project_gaussians(
+            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
+            opacities=opacs,
+        )
+    )(means)
+    CAP = estimate_capacity(p0.num_tiles_hit, slack=1.08)
+    n_isects = int(jax.device_get(jnp.sum(p0.num_tiles_hit)))
+    assert n_isects <= CAP, (n_isects, CAP)
+
     def loss_fn(m):
         p = project_gaussians(
-            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S
+            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
+            opacities=opacs,
         )
         b = bin_gaussians(p, tx, ty, CAP)
         out = rasterize_tiles_pallas(p.xys, p.conics, chan, opacs, b, S, S)

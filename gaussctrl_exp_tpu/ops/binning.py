@@ -90,11 +90,15 @@ def bin_gaussians(
     cum = jnp.cumsum(nt_sorted) - nt_sorted  # exclusive cumsum
     total = cum[-1] + nt_sorted[-1]
 
-    # fused small-table row block: bbox x0/y0/width + cum, all rank-indexed
+    # fused small-table row block, BIT-PACKED to 2 rows (halves the gather):
+    # row0 = x0 | y0<<12; row1 = bw | cum<<bits_bw
     bb_r = proj.tile_bbox[order]  # (N, 4) small
+    bits_bw = max(int(tiles_x).bit_length(), 1)  # bw ∈ [1, tiles_x]
+    assert capacity < (1 << (31 - bits_bw)), "capacity too large for packed cum"
+    bw_r = jnp.maximum(bb_r[:, 2] - bb_r[:, 0], 1)
     gtab = jnp.stack(
-        [bb_r[:, 0], bb_r[:, 1], jnp.maximum(bb_r[:, 2] - bb_r[:, 0], 1), cum], axis=0
-    )  # (4, N) int32
+        [bb_r[:, 0] | (bb_r[:, 1] << 12), bw_r | (cum << bits_bw)], axis=0
+    )  # (2, N) int32
 
     # 2. slot → (rank, tile) decode via mark + cummax (no searchsorted)
     slots = jnp.arange(capacity, dtype=jnp.int32)
@@ -104,10 +108,16 @@ def bin_gaussians(
     rank = jax.lax.associative_scan(jnp.maximum, ranks_at_start)
     rank = jnp.clip(rank, 0, N - 1)
     valid = slots < jnp.minimum(total, capacity)
-    g4 = gtab[:, rank]  # (4, capacity) — ONE fast small-table gather
-    k = slots - g4[3]
-    bw = g4[2]
-    tile = (g4[1] + k // bw) * tiles_x + (g4[0] + k % bw)
+    g2 = gtab[:, rank]  # (2, capacity) — ONE fast small-table gather
+    x0 = g2[0] & 4095
+    y0 = g2[0] >> 12
+    bw = g2[1] & ((1 << bits_bw) - 1)
+    k = slots - (g2[1] >> bits_bw)
+    # k // bw as f32 floor((k+0.5)/bw): int32 division has no TPU fast path;
+    # exact for k < 2^17, bw ≤ 256 (exhaustively verified, margin 0.5/bw ≫ ulp)
+    ky = jnp.floor((k.astype(jnp.float32) + 0.5) / bw.astype(jnp.float32)).astype(jnp.int32)
+    kx = k - ky * bw
+    tile = (y0 + ky) * tiles_x + (x0 + kx)
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)  # sentinel past-end
 
     # 3. stable sort by tile id; stability keeps depth order within a tile
@@ -186,9 +196,12 @@ def estimate_capacity(num_tiles_hit: jnp.ndarray, slack: float = 1.5, minimum: i
     """Host-side helper: pick a static intersection capacity with headroom.
 
     Call once outside jit (e.g. at scene load or after densify) and recompile
-    only when the capacity bucket changes. Rounded up to a power of two so the
-    number of distinct compiled shapes stays small.
+    only when the capacity bucket changes. Rounded up to a multiple of 16384
+    (the sort/scan/gather costs scale linearly with capacity, so pow-2-only
+    rounding wastes up to 2× device time; 16 Ki granularity keeps the number
+    of distinct compiled shapes small enough).
     """
     total = int(jax.device_get(jnp.sum(num_tiles_hit)))
     cap = max(minimum, int(total * slack))
-    return 1 << (cap - 1).bit_length()
+    g = 1 << 14
+    return (cap + g - 1) // g * g

@@ -58,6 +58,7 @@ def project_gaussians(
     img_width: int,
     clip_thresh: float = 0.01,
     extra_mask: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Project N Gaussians to screen space.
 
@@ -68,6 +69,15 @@ def project_gaussians(
       viewmat: (4, 4) world→camera.
       fullmat: (4, 4) projmat @ viewmat.
       extra_mask: optional (N,) bool to pre-cull (alive mask / crop box).
+      opacities: optional (N,) post-sigmoid opacities. When given, the tile
+        bbox is tightened to the axis-aligned extent of the level set
+        ``α ≥ 1/255`` — the exact region the blend kernel composites
+        (``alpha >= MIN_ALPHA`` mask) — intersected with gsplat's 3σ square
+        box. Every dropped (gaussian, tile) pair contributes *nothing* in
+        both this framework and gsplat v0.1.2 (whose rasterizer `continue`s
+        at α < 1/255), so rgb/depth/gradients are unchanged while
+        intersection counts (and the static capacity they force) shrink
+        substantially. ``radii`` stays the gsplat eigenvalue radius.
     """
     f32 = jnp.float32
     means = means.astype(f32)
@@ -171,14 +181,25 @@ def project_gaussians(
     # --- tile bbox (truncation toward zero like the CUDA int cast, then clamp)
     tiles_x = (img_width + BLOCK - 1) // BLOCK
     tiles_y = (img_height + BLOCK - 1) // BLOCK
+    if opacities is not None:
+        # α(d) = min(0.999, op·e^{−σ(d)}) with σ = ½ dᵀ cov2d⁻¹ d; the blend
+        # kernels skip α < 1/255, so only the level set σ ≤ ln(255·op) can
+        # contribute. Its axis-aligned half-extents are √(2σ·cov2d_ii).
+        s_lvl = jnp.log(jnp.maximum(255.0 * opacities.reshape(-1), 1e-12)) + 1e-6
+        s_pos = jnp.maximum(s_lvl, 0.0)
+        hx = jnp.minimum(jnp.sqrt(2.0 * s_pos * jnp.maximum(a, 0.0)), radius_f)
+        hy = jnp.minimum(jnp.sqrt(2.0 * s_pos * jnp.maximum(c, 0.0)), radius_f)
+        opac_visible = s_lvl > 0.0  # op ≤ 1/255 ⇒ α < 1/255 everywhere ⇒ cull
+    else:
+        hx = hy = radius_f
+        opac_visible = True
     tile_cx = xys[:, 0] / BLOCK
     tile_cy = xys[:, 1] / BLOCK
-    tile_r = radius_f / BLOCK
-    tx0 = jnp.clip((tile_cx - tile_r).astype(jnp.int32), 0, tiles_x)
-    tx1 = jnp.clip((tile_cx + tile_r + 1.0).astype(jnp.int32), 0, tiles_x)
-    ty0 = jnp.clip((tile_cy - tile_r).astype(jnp.int32), 0, tiles_y)
-    ty1 = jnp.clip((tile_cy + tile_r + 1.0).astype(jnp.int32), 0, tiles_y)
-    area = (tx1 - tx0) * (ty1 - ty0)
+    tx0 = jnp.clip((tile_cx - hx / BLOCK).astype(jnp.int32), 0, tiles_x)
+    tx1 = jnp.clip((tile_cx + hx / BLOCK + 1.0).astype(jnp.int32), 0, tiles_x)
+    ty0 = jnp.clip((tile_cy - hy / BLOCK).astype(jnp.int32), 0, tiles_y)
+    ty1 = jnp.clip((tile_cy + hy / BLOCK + 1.0).astype(jnp.int32), 0, tiles_y)
+    area = (tx1 - tx0) * (ty1 - ty0) * opac_visible
 
     mask = in_front & det_valid & (area > 0)
     if extra_mask is not None:

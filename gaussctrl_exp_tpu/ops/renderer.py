@@ -93,6 +93,7 @@ def render(
         W,
         clip_thresh=cfg.clip_thresh,
         extra_mask=extra_mask,
+        opacities=opacities.reshape(-1),
     )
     bins = bin_gaussians(proj, tiles_x, tiles_y, cfg.isect_capacity)
 

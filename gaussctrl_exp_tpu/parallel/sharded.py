@@ -134,6 +134,7 @@ def _project_local(params: GaussianParams, alive, camera_arrays, step, cfg: Shar
         cfg.height,
         cfg.width,
         extra_mask=alive,
+        opacities=jax.nn.sigmoid(params.opacities[:, 0]),
     )
     coeffs = jnp.concatenate([params.features_dc[:, None, :], params.features_rest], axis=1)
     viewdirs = jax.lax.stop_gradient(params.means) - c2w[:3, 3]

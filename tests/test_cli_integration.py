@@ -80,29 +80,23 @@ def test_train_cli_end_to_end(mini_scene, tmp_path):
     assert (out / "history.json").exists()
 
 
-def test_render_cli_dataset(mini_scene, tmp_path):
-    # train 1 step to get a checkpoint, then render the dataset split
-    from gaussctrl_exp_tpu.cli import render as render_cli
+def _mini_ckpt(tmp_path, n=32, name="step-000000010.ckpt"):
     from gaussctrl_exp_tpu.engine.checkpoint import export_splatfacto_checkpoint
     from gaussctrl_exp_tpu.models.gaussians import init_random
 
-    gs = init_random(32, capacity=32, sh_degree=1, seed=0)
-    ckpt = tmp_path / "step-000000010.ckpt"
+    gs = init_random(n, capacity=n, sh_degree=1, seed=0)
+    ckpt = tmp_path / name
     export_splatfacto_checkpoint(gs, ckpt, step=10)
+    return ckpt
 
+
+def test_render_cli_dataset(mini_scene, tmp_path):
+    from gaussctrl_exp_tpu.cli import render as render_cli
+
+    ckpt = _mini_ckpt(tmp_path)
     out = tmp_path / "renders"
-
-    class A:  # argparse namespace stand-in
-        pass
-
-    args = A()
-    args.data = str(mini_scene)
-    args.ckpt = str(ckpt)
-    args.out = str(out)
-    args.fmt = "png"
-    args.split = "train"
-    # monkeypatch impl via env: render CLI uses impl="auto" → jnp on CPU ✓
-    render_cli.cmd_dataset(args)
+    render_cli.main(["dataset", "--data", str(mini_scene), "--ckpt", str(ckpt),
+                     "--out", str(out)])
     assert len(list(out.glob("frame_*.png"))) == 3
     # depth sidecars written next to the scene (gc_render.py behavior)
     depth_files = list((mini_scene / "depth_npy").glob("*.npy"))
@@ -113,26 +107,97 @@ def test_render_cli_dataset(mini_scene, tmp_path):
 
 def test_render_cli_spiral(mini_scene, tmp_path):
     from gaussctrl_exp_tpu.cli import render as render_cli
-    from gaussctrl_exp_tpu.engine.checkpoint import export_splatfacto_checkpoint
-    from gaussctrl_exp_tpu.models.gaussians import init_random
 
-    gs = init_random(16, capacity=16, sh_degree=1, seed=1)
-    ckpt = tmp_path / "s.ckpt"
-    export_splatfacto_checkpoint(gs, ckpt, step=1)
-
-    class A:
-        pass
-
-    args = A()
-    args.data = str(mini_scene)
-    args.ckpt = str(ckpt)
-    args.out = str(tmp_path / "spiral")
-    args.fmt = "jpg"
-    args.fps = 4
-    args.frames = 4
-    render_cli.cmd_spiral(args)
-    assert len(list((tmp_path / "spiral").glob("frame_*.jpg"))) == 4
+    ckpt = _mini_ckpt(tmp_path, n=16, name="s.ckpt")
+    out = tmp_path / "spiral"
+    render_cli.main(["spiral", "--data", str(mini_scene), "--ckpt", str(ckpt),
+                     "--out", str(out), "--fmt", "jpg", "--fps", "4", "--frames", "4",
+                     "--outputs", "rgb", "depth", "accumulation"])
+    frames = list(out.glob("frame_*.jpg"))
+    assert len(frames) == 4
+    # three outputs concatenated horizontally (rendered_output_names parity)
+    w, h = Image.open(frames[0]).size
+    assert (w, h) == (64 * 3, 64)
     # mp4 when an encoder exists, GIF fallback otherwise
-    assert (tmp_path / "spiral" / "render.mp4").exists() or (
-        tmp_path / "spiral" / "render.gif"
-    ).exists()
+    assert (out / "render.mp4").exists() or (out / "render.gif").exists()
+
+
+def _camera_path_json(root, n=3, camera_type="perspective", hw=64):
+    import math
+
+    frames = []
+    for ang in np.linspace(0, 0.8, n):
+        from gaussctrl_exp_tpu.cameras import look_at
+
+        eye = np.array([4.0 * math.sin(ang), -4.0 * math.cos(ang), 1.0])
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :4] = look_at(eye, np.zeros(3))
+        frames.append({"camera_to_world": c2w.reshape(-1).tolist(), "fov": 50.0})
+    meta = {"render_height": hw, "render_width": hw, "camera_type": camera_type,
+            "camera_path": frames, "seconds": 1.0}
+    p = root / f"path_{camera_type}.json"
+    p.write_text(json.dumps(meta))
+    return p
+
+
+def test_render_cli_camera_path_stereo(mini_scene, tmp_path):
+    """ODS camera path → per-eye renders stacked vertically (gc_render.py:566)."""
+    from gaussctrl_exp_tpu.cli import render as render_cli
+
+    ckpt = _mini_ckpt(tmp_path, n=16, name="ods.ckpt")
+    path_json = _camera_path_json(tmp_path, n=2, camera_type="omni-directional-stereo")
+    out = tmp_path / "ods"
+    render_cli.main(["camera-path", "--camera-path", str(path_json),
+                     "--ckpt", str(ckpt), "--out", str(out), "--fps", "2"])
+    frames = list(out.glob("frame_*.png"))
+    assert len(frames) == 2
+    w, h = Image.open(frames[0]).size
+    assert (w, h) == (64, 128)  # top-bottom stack
+
+
+def test_render_cli_nearest_camera(mini_scene, tmp_path):
+    """--render-nearest-camera appends the closest unoccluded train view."""
+    from gaussctrl_exp_tpu.cli import render as render_cli
+
+    ckpt = _mini_ckpt(tmp_path, n=16, name="near.ckpt")
+    path_json = _camera_path_json(tmp_path, n=2)
+    out = tmp_path / "near"
+    render_cli.main(["camera-path", "--camera-path", str(path_json),
+                     "--ckpt", str(ckpt), "--out", str(out), "--fps", "2",
+                     "--data", str(mini_scene),
+                     "--render-nearest-camera", "--check-occlusions"])
+    frames = list(out.glob("frame_*.png"))
+    assert len(frames) == 2
+    w, h = Image.open(frames[0]).size
+    assert h == 64 and w == 128  # render + appended train view
+
+
+def test_spherical_metadata_roundtrip(tmp_path):
+    """MP4 atom surgery: inject the spherical uuid into moov/trak and read it
+    back (gc_render.py:314-381 parity, synthetic minimal mp4)."""
+    import struct
+
+    from gaussctrl_exp_tpu.utils.video import (
+        insert_spherical_metadata,
+        read_spherical_metadata,
+    )
+
+    def box(tag, payload):
+        return struct.pack(">I4s", 8 + len(payload), tag) + payload
+
+    trak = box(b"trak", box(b"tkhd", b"\x00" * 84))
+    moov = box(b"moov", box(b"mvhd", b"\x00" * 100) + trak)
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"mdat", b"\x00" * 64) + moov
+    p = tmp_path / "t.mp4"
+    p.write_bytes(mp4)
+
+    assert read_spherical_metadata(p) is None
+    insert_spherical_metadata(p, stereo_mode="top-bottom")
+    xml = read_spherical_metadata(p)
+    assert xml is not None
+    assert b"equirectangular" in xml and b"top-bottom" in xml
+    # box sizes stayed consistent: file still parses and ftyp/mdat untouched
+    data = p.read_bytes()
+    assert data[4:8] == b"ftyp"
+    size, tag = struct.unpack(">I4s", data[len(mp4) - len(moov):][:8])
+    assert tag == b"moov" and size == len(data) - (len(mp4) - len(moov))
