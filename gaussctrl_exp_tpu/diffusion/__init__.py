@@ -20,7 +20,13 @@ __all__ = [
 
 from .geometry import bilinear_sample, depth_to_world_points, project_points
 from .triplane_attention import make_triplane_processor
-from .correspondence import build_correspondence_tables, make_epipolar_processor
+from .correspondence import (
+    build_correspondence_tables,
+    make_epipolar_processor,
+    make_multires_epipolar_processor,
+    overlap_ratio,
+)
+from .mv_generator import DepthGenerator, MVGeneratorConfig, init_depth_generator
 
 __all__ += [
     "bilinear_sample",
@@ -29,4 +35,9 @@ __all__ += [
     "make_triplane_processor",
     "build_correspondence_tables",
     "make_epipolar_processor",
+    "make_multires_epipolar_processor",
+    "overlap_ratio",
+    "DepthGenerator",
+    "MVGeneratorConfig",
+    "init_depth_generator",
 ]

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cameras import Camera
 from .geometry import depth_to_world_points, project_points
@@ -124,6 +125,66 @@ def make_epipolar_processor(
                 o = epipolar_attention(q[bi], kb, vb, nbr_idx[a, b], nbr_w[a, b])
                 acc = acc + o * (1.0 - if_same)
             return acc / max(V - 1, 1)
+
+        out_epi = jnp.stack([one_batch(bi) for bi in range(B)], axis=0)
+        return mix * out_self + (1.0 - mix) * out_epi
+
+    return processor
+
+
+def overlap_ratio(nbr_w: jnp.ndarray, thresh: float = 0.05) -> jnp.ndarray:
+    """(V, V, S, 9) tap weights → (V, V) fraction of view-a tokens with at
+    least one valid epipolar tap in view b.
+
+    The working idea behind the reference's overlap-ratio masking
+    (mv_model.py:64-104): view pairs that barely see the same surface should
+    not exchange attention."""
+    return (nbr_w.max(axis=-1) > thresh).mean(axis=-1)
+
+
+def make_multires_epipolar_processor(
+    tables: dict,  # {S: (nbr_idx (V,V,S,9), nbr_w (V,V,S,9))}
+    mix: float = 0.5,
+    pair_mask: jnp.ndarray | None = None,  # (V, V) 1 = exchange attention
+    unet_chunk_size: int = 2,
+):
+    """Epipolar cross-view attention at EVERY UNet attention resolution.
+
+    The reference inserts a correspondence block after each down/mid/up block
+    (CPBlock, mv_model.py:18-29,163-165,186-188,215-217); here the same
+    coverage comes from one processor holding a table per sequence length —
+    self-attn layers whose S matches a table mix in epipolar attention to
+    every other (sufficiently overlapping, ``pair_mask``) view; other layers
+    run plain attention."""
+    from .attention import _sdpa
+
+    some = next(iter(tables.values()))
+    V = some[0].shape[0]
+    if pair_mask is None:
+        pair_mask = jnp.ones((V, V))
+    pm = np.asarray(pair_mask) * (1.0 - np.eye(V))  # never "self" pairs
+
+    def processor(q, k, v, is_cross: bool) -> jnp.ndarray:
+        B, Hh, S, D = q.shape
+        if is_cross or S not in tables or B % V != 0:
+            return _sdpa(q, k, v)
+        nbr_idx, nbr_w = tables[S]
+        out_self = _sdpa(q, k, v)
+
+        def one_batch(bi):
+            g, a = bi // V, bi % V
+            acc = jnp.zeros((Hh, S, D), q.dtype)
+            denom = max(float(pm[a].sum()), 1.0)
+            for b in range(V):
+                if pm[a, b] == 0.0:
+                    continue
+                o = epipolar_attention(
+                    q[bi], k[g * V + b], v[g * V + b], nbr_idx[a, b], nbr_w[a, b]
+                )
+                acc = acc + o * float(pm[a, b])
+            if float(pm[a].sum()) == 0.0:
+                return out_self[bi]  # isolated view: pure self-attention
+            return acc / denom
 
         out_epi = jnp.stack([one_batch(bi) for bi in range(B)], axis=0)
         return mix * out_self + (1.0 - mix) * out_epi
