@@ -27,6 +27,7 @@ from .correspondence import (
     overlap_ratio,
 )
 from .mv_generator import DepthGenerator, MVGeneratorConfig, init_depth_generator
+from .inpaint import InpaintConfig, SDInpaintPipeline, mask_to_latent
 
 __all__ += [
     "bilinear_sample",
@@ -40,4 +41,7 @@ __all__ += [
     "DepthGenerator",
     "MVGeneratorConfig",
     "init_depth_generator",
+    "InpaintConfig",
+    "SDInpaintPipeline",
+    "mask_to_latent",
 ]
