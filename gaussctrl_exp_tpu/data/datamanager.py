@@ -47,6 +47,28 @@ def _load_image(path: Path) -> np.ndarray:
     return img
 
 
+def _fit_to(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Resize to the cameras' (downscaled) resolution: box filter for integer
+    ratios (nerfstudio downscales with ffmpeg-area semantics), PIL otherwise."""
+    h, w = img.shape[:2]
+    if (h, w) == (H, W) or not (H and W):
+        return img
+    if h % H == 0 and w % W == 0 and h // H == w // W:
+        r = h // H
+        return img.reshape(H, r, W, r, -1).mean(axis=(1, 3))
+    from PIL import Image
+
+    return (
+        np.asarray(
+            Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+                (W, H), Image.LANCZOS
+            ),
+            dtype=np.float32,
+        )
+        / 255.0
+    )
+
+
 def _undistort(img: np.ndarray, K: np.ndarray, dist6: np.ndarray):
     """cv2 undistort with OPENCV (radial k1-k4 + tangential p1,p2) model.
 
@@ -71,6 +93,73 @@ def _undistort(img: np.ndarray, K: np.ndarray, dist6: np.ndarray):
     return und, newK
 
 
+def _cache_images_native(paths, cams) -> Optional[tuple]:
+    """Decode + undistort every view with the C++ threaded batch loader
+    (native/imageio.cpp): JPEG decode, per-view alpha=0 new camera matrix
+    (numpy, data/undistort.py), bilinear remap — the native equivalent of the
+    reference's cv2-based ``cache_images`` (gc_datamanager.py:112-186).
+
+    Returns (images (V,H,W,3) f32, newKs (V,3,3), rois) or None when the
+    native library is unavailable or the first image isn't a decodable JPEG.
+    """
+    import ctypes
+
+    from ..native import get_imageio
+    from .undistort import optimal_new_K
+
+    lib = get_imageio()
+    if lib is None:
+        return None
+    if cams.width and cams.height:  # target size (downscaled when ds > 1)
+        W, H = int(cams.width), int(cams.height)
+    else:
+        h0 = lib.img_open(str(paths[0]).encode())
+        if not h0:
+            return None
+        W, H = lib.img_width(h0), lib.img_height(h0)
+        lib.img_close(h0)
+
+    V = len(paths)
+    Ks = np.zeros((V, 3, 3), np.float64)
+    newKs = np.zeros((V, 3, 3), np.float64)
+    dists = np.ascontiguousarray(cams.distortion[:V], np.float64)
+    rois = []
+    for i in range(V):
+        Ks[i] = [[cams.fx[i], 0, cams.cx[i]], [0, cams.fy[i], cams.cy[i]], [0, 0, 1]]
+        newKs[i], roi = optimal_new_K(Ks[i], dists[i], W, H)
+        rois.append(roi)
+
+    out = np.zeros((V, H, W, 3), np.float32)
+    failed = np.full(V, -1, np.int32)
+    cpaths = (ctypes.c_char_p * V)(*[str(p).encode() for p in paths])
+    n_ok = lib.load_undistort_batch(
+        cpaths, V, H, W,
+        Ks.ctypes.data_as(ctypes.c_void_p),
+        dists.ctypes.data_as(ctypes.c_void_p),
+        newKs.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        failed.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    if n_ok < V:  # non-JPEG / progressive views: PIL decode + native remap
+        for i in failed[failed >= 0]:
+            img = np.ascontiguousarray(_fit_to(_load_image(paths[i]), H, W), np.float32)
+            if img.shape[:2] != (H, W):
+                return None
+            if np.any(np.abs(dists[i]) > 0):
+                src = np.ascontiguousarray(img)
+                lib.undistort_f32(
+                    src.ctypes.data_as(ctypes.c_void_p), H, W, 3,
+                    Ks[i].ctypes.data_as(ctypes.c_void_p),
+                    dists[i].ctypes.data_as(ctypes.c_void_p),
+                    newKs[i].ctypes.data_as(ctypes.c_void_p),
+                    out[i].ctypes.data_as(ctypes.c_void_p),
+                )
+            else:
+                out[i] = img
+    return out, newKs, rois
+
+
 class DataManager:
     """Caches train images and serves (camera_index, image) train samples."""
 
@@ -82,22 +171,32 @@ class DataManager:
         cams = self.parsed.cameras
         n_views = len(self.parsed.image_filenames)
 
-        images = []
-        fx, fy, cx, cy = [], [], [], []
-        W = H = None
-        for i, path in enumerate(self.parsed.image_filenames):
-            img = _load_image(path)
-            K = np.array(
-                [[cams.fx[i], 0, cams.cx[i]], [0, cams.fy[i], cams.cy[i]], [0, 0, 1]],
-                np.float32,
-            )
-            img, K = _undistort(img, K, cams.distortion[i])
-            images.append(img)
-            fx.append(K[0, 0])
-            fy.append(K[1, 1])
-            cx.append(K[0, 2])
-            cy.append(K[1, 2])
-            H, W = img.shape[:2]
+        native = _cache_images_native(self.parsed.image_filenames, cams)
+        if native is not None:
+            stack, newKs, rois = native
+            images, fx, fy, cx, cy = [], [], [], [], []
+            for i in range(stack.shape[0]):
+                x, y, rw, rh = rois[i]
+                images.append(stack[i, y : y + rh, x : x + rw])
+                fx.append(newKs[i][0, 0])
+                fy.append(newKs[i][1, 1])
+                cx.append(newKs[i][0, 2] - x)
+                cy.append(newKs[i][1, 2] - y)
+        else:  # pure-Python fallback: PIL decode + cv2 undistort per view
+            images = []
+            fx, fy, cx, cy = [], [], [], []
+            for i, path in enumerate(self.parsed.image_filenames):
+                img = _fit_to(_load_image(path), cams.height, cams.width)
+                K = np.array(
+                    [[cams.fx[i], 0, cams.cx[i]], [0, cams.fy[i], cams.cy[i]], [0, 0, 1]],
+                    np.float32,
+                )
+                img, K = _undistort(img, K, cams.distortion[i])
+                images.append(img)
+                fx.append(K[0, 0])
+                fy.append(K[1, 1])
+                cx.append(K[0, 2])
+                cy.append(K[1, 2])
         # undistortion ROI can differ by a pixel between views; crop to common size
         H = min(im.shape[0] for im in images)
         W = min(im.shape[1] for im in images)

@@ -183,6 +183,15 @@ def load_scene(cfg: DataParserConfig, split: str = "train") -> DataparserOutputs
         distortion=np.asarray(dist, np.float32)[sel],
     )
     image_filenames = [data_dir / names[i] for i in sel]
+    if ds > 1:
+        # pre-downscaled folder resolution (gc_dataparser_ns.py:475-504):
+        # images/... → images_{ds}/... when that folder exists; otherwise the
+        # datamanager box-downsamples at decode time
+        scaled = [
+            p.parent.with_name(p.parent.name + f"_{ds}") / p.name for p in image_filenames
+        ]
+        if all(p.exists() for p in scaled):
+            image_filenames = scaled
 
     points_xyz = points_rgb = None
     if cfg.load_3D_points and "ply_file_path" in meta:
