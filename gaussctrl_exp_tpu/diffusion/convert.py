@@ -30,11 +30,19 @@ def _put(tree: dict, path: list[str], value: np.ndarray) -> None:
     node[path[-1]] = value
 
 
-def _convert_tensor(name: str, w: np.ndarray) -> tuple[str, np.ndarray]:
-    """Map the trailing parameter name + transpose the value."""
+def _convert_tensor(name: str, w: np.ndarray, mod_path: str = "") -> tuple[str, np.ndarray]:
+    """Map the trailing parameter name + transpose the value.
+
+    ``mod_path`` (the translated module path) disambiguates layers whose
+    torch/Flax layer types differ: diffusers SD1.x Transformer2D uses 1×1
+    Conv2d for proj_in/proj_out (use_linear_projection=False) while our
+    Transformer2D uses Dense — those (O, I, 1, 1) weights squeeze to (I, O).
+    """
     w = np.asarray(w)
     if name == "weight":
         if w.ndim == 4:
+            if mod_path.endswith(("proj_in", "proj_out")) and w.shape[2:] == (1, 1):
+                return "kernel", w[:, :, 0, 0].transpose(1, 0)
             return "kernel", w.transpose(2, 3, 1, 0)
         if w.ndim == 2:
             return "kernel", w.transpose(1, 0)
@@ -74,6 +82,11 @@ _ATTN_INNER = [
 ]
 
 _VAE_PATTERNS = [
+    # pre-0.13 diffusers AttentionBlock names → modern to_q/to_k/to_v/to_out.0
+    (r"^(encoder|decoder)\.mid_block\.attentions\.0\.query\.(.*)", r"\1.mid_attn.to_q.\2"),
+    (r"^(encoder|decoder)\.mid_block\.attentions\.0\.key\.(.*)", r"\1.mid_attn.to_k.\2"),
+    (r"^(encoder|decoder)\.mid_block\.attentions\.0\.value\.(.*)", r"\1.mid_attn.to_v.\2"),
+    (r"^(encoder|decoder)\.mid_block\.attentions\.0\.proj_attn\.(.*)", r"\1.mid_attn.to_out_0.\2"),
     (r"^(encoder|decoder)\.conv_in\.(.*)", r"\1.conv_in.\2"),
     (r"^encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", r"encoder.down_\1_resnet_\2.\3"),
     (r"^encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.(.*)", r"encoder.down_\1_downsample.\2"),
@@ -110,8 +123,12 @@ def translate_vae_key(key: str):
     return _translate(key, _VAE_PATTERNS)
 
 
-def convert_state_dict(sd: dict, translate) -> dict:
-    """torch-style flat {dotted_name: array} → nested Flax params tree."""
+def convert_state_dict(sd: dict, translate, strict: bool = False) -> dict:
+    """torch-style flat {dotted_name: array} → nested Flax params tree.
+
+    ``strict=True`` raises if any key fails to translate — a silently-skipped
+    key means a silently-wrong model, so real-checkpoint loads use strict.
+    """
     tree: dict = {}
     skipped = []
     for k, v in sd.items():
@@ -125,12 +142,15 @@ def convert_state_dict(sd: dict, translate) -> dict:
             skipped.append(k)
             continue
         mod_path, pn = new_path.rsplit(".", 1)
-        pn2, value = _convert_tensor(pn, np.asarray(v))
+        pn2, value = _convert_tensor(pn, np.asarray(v), mod_path)
         _put(tree, mod_path.split(".") + [pn2], value.astype(np.float32))
     if skipped:
+        msg = f"convert_state_dict skipped {len(skipped)} keys, e.g. {skipped[:6]}"
+        if strict:
+            raise ValueError(msg)
         import warnings
 
-        warnings.warn(f"convert_state_dict skipped {len(skipped)} keys, e.g. {skipped[:4]}")
+        warnings.warn(msg)
     return tree
 
 
@@ -161,10 +181,10 @@ def load_sd_models(root: str | Path, controlnet_dir: str | Path | None = None):
     from .vae import AutoencoderKL
 
     root = Path(root)
-    unet_params = convert_state_dict(_read_weights(root / "unet"), translate_unet_key)
-    vae_params = convert_state_dict(_read_weights(root / "vae"), translate_vae_key)
+    unet_params = convert_state_dict(_read_weights(root / "unet"), translate_unet_key, strict=True)
+    vae_params = convert_state_dict(_read_weights(root / "vae"), translate_vae_key, strict=True)
     cn_dir = Path(controlnet_dir) if controlnet_dir else root / "controlnet"
-    cn_params = convert_state_dict(_read_weights(cn_dir), translate_unet_key)
+    cn_params = convert_state_dict(_read_weights(cn_dir), translate_unet_key, strict=True)
 
     models = SDModels(
         unet=UNet2DCondition(),
@@ -175,4 +195,11 @@ def load_sd_models(root: str | Path, controlnet_dir: str | Path | None = None):
         vae_params=vae_params,
     )
     te_dir = root / "text_encoder"
-    return attach_text_encoder(models, str(te_dir) if te_dir.exists() else None)
+    models = attach_text_encoder(models, str(te_dir) if te_dir.exists() else None)
+    try:
+        from .tokenizer import CLIPTokenizer
+
+        models.tokenizer = CLIPTokenizer.from_pretrained(root)
+    except FileNotFoundError:
+        pass  # weightless/test layout; pipeline falls back to simple_tokenize
+    return models

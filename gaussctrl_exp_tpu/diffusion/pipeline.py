@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .attention import make_cross_view_processor
-from .sd_pipeline import SDControlNetPipeline, SDModels, encode_prompt_ids, simple_tokenize
+from .sd_pipeline import SDControlNetPipeline, SDModels, encode_prompt_ids
+from .sd_pipeline import tokenize as models_tokenize
 
 ADDED_PROMPT = "best quality, extremely detailed"
 NEGATIVE_PROMPT = (
@@ -92,7 +93,9 @@ class GaussCtrlEditPipeline:
         self.models = models
         self.pipe = SDControlNetPipeline(models)
         self.mask_provider = mask_provider
-        self.tokenize = tokenizer or simple_tokenize
+        # default: the checkpoint's real CLIP BPE vocab when models carry one
+        # (load_sd_models attaches it), hash placeholder otherwise
+        self.tokenize = tokenizer or (lambda texts: models_tokenize(self.models, texts))
         # callers may also preload per-view masks (e.g. DataManager.load_masks()
         # reading the reference's mask_npy/ sidecars) into self.masks directly
         # per-view caches (the reference stashes these in the dataset,
@@ -151,7 +154,6 @@ class GaussCtrlEditPipeline:
         cfgp = self.cfg
         V = len(datamanager)
         ref_indices = select_reference_views(V, cfgp.ref_view_num)
-        other = [i for i in range(V) if i not in ref_indices]
 
         pos_ctx = self._encode([f"{cfgp.edit_prompt}, {ADDED_PROMPT}"])
         neg_ctx = self._encode([NEGATIVE_PROMPT])
@@ -177,22 +179,23 @@ class GaussCtrlEditPipeline:
         ref_z0 = np.stack([self.z0[i] for i in ref_indices])
         ref_disp = np.stack([self.disparity[i] for i in ref_indices])
 
-        for c0 in range(0, len(other), cfgp.chunk_size):
-            chunk = other[c0 : c0 + cfgp.chunk_size]
-            batch_idx = ref_indices + chunk  # refs first (frames 0..3, utils.py:102-105)
+        # Exact reference chunking (ad_pipeline.py:196-242): iterate ALL views
+        # in order (ref views included — each is edited when its own chunk
+        # arrives), always prepend the 4 reference z0/disparities, and DISCARD
+        # the per-chunk reference outputs (`.images[self.num_ref_views:]`).
+        for c0 in range(0, V, cfgp.chunk_size):
+            chunk = list(range(c0, min(c0 + cfgp.chunk_size, V)))
             z0 = jnp.asarray(np.concatenate([ref_z0, np.stack([self.z0[i] for i in chunk])]))
             hint = jnp.asarray(
                 np.concatenate([ref_disp, np.stack([self.disparity[i] for i in chunk])])
             )
             latents = gen_jit(z0, hint)
-            images = np.asarray(decode_jit(latents))
-            for bi, view in enumerate(batch_idx):
-                if bi < len(ref_indices) and c0 > 0:
-                    continue  # refs written on the first chunk only
+            images = np.asarray(decode_jit(latents))[len(ref_indices) :]
+            for bi, view in enumerate(chunk):
                 edited = images[bi]
                 if view in self.masks:
                     m = self.masks[view][..., None]
                     edited = edited * m + self.unedited[view] * (1 - m)  # :233-239
                 datamanager.write_back(view, edited)
-            print(f"[edit_images] {min(c0+cfgp.chunk_size, len(other))}/{len(other)} views", end="\r")
+            print(f"[edit_images] {min(c0+cfgp.chunk_size, V)}/{V} views", end="\r")
         print()

@@ -95,7 +95,12 @@ def attach_text_encoder(models: SDModels, pretrained: Optional[str] = None) -> S
     from transformers import CLIPTextConfig, FlaxCLIPTextModel
 
     if pretrained:
-        te = FlaxCLIPTextModel.from_pretrained(pretrained)
+        try:
+            te = FlaxCLIPTextModel.from_pretrained(pretrained)
+        except (OSError, EnvironmentError):
+            # torch-only checkpoint dir (the usual diffusers layout):
+            # transformers converts torch→Flax in-process
+            te = FlaxCLIPTextModel.from_pretrained(pretrained, from_pt=True)
         models.text_encoder, models.text_params = te, te.params
     else:
         cfg = CLIPTextConfig(  # ViT-L/14 text tower
@@ -115,12 +120,20 @@ def encode_prompt_ids(models: SDModels, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 def simple_tokenize(texts, max_len: int = 77) -> np.ndarray:
     """Hash-based placeholder tokenizer for weightless testing (real runs use
-    the CLIP tokenizer vocab supplied with converted checkpoints)."""
+    the CLIP BPE tokenizer loaded from the checkpoint, tokenizer.py)."""
     ids = np.zeros((len(texts), max_len), np.int32)
     for i, t in enumerate(texts):
         toks = [49406] + [hash(w) % 49000 for w in t.lower().split()][: max_len - 2] + [49407]
         ids[i, : len(toks)] = toks
     return ids
+
+
+def tokenize(models: SDModels, texts, max_len: int = 77) -> np.ndarray:
+    """Tokenize with the checkpoint's real CLIP BPE vocab when available
+    (set by convert.load_sd_models), else the hash placeholder."""
+    if models.tokenizer is not None:
+        return models.tokenizer(texts, max_len=max_len)
+    return simple_tokenize(texts, max_len)
 
 
 class SDControlNetPipeline:

@@ -1,0 +1,138 @@
+"""Converter validation over the COMPLETE SD-1.x diffusers key sets.
+
+VERDICT item 2: the converter must translate every key of the real
+checkpoints' state dicts (zero skipped keys, strict) and the converted trees
+must match our Flax modules' parameter trees EXACTLY — same paths, same
+shapes, nothing missing, nothing extra — at full SD-1.x dims
+(/root/reference/gaussctrl/ad_pipeline.py:101-108 loads: SD-1.4 unet/vae +
+lllyasviel/sd-controlnet-depth). Full-dims trees are compared via
+jax.eval_shape (no weight allocation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussctrl_exp_tpu.diffusion.convert import (
+    convert_state_dict,
+    translate_unet_key,
+    translate_vae_key,
+)
+from gaussctrl_exp_tpu.diffusion.keysets import (
+    sd15_controlnet_keys,
+    sd15_unet_keys,
+    sd15_vae_keys,
+)
+
+
+def _zeros_sd(keyset: dict) -> dict:
+    return {k: np.zeros(shape, np.float32) for k, shape in keyset.items()}
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = tuple(v.shape)
+    return out
+
+
+def _assert_tree_match(converted: dict, expected_tree: dict, label: str):
+    got = _flatten(converted)
+    want = _flatten(expected_tree)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    assert not missing, f"{label}: converted tree missing {len(missing)}: {missing[:8]}"
+    assert not extra, f"{label}: converted tree has extra {len(extra)}: {extra[:8]}"
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{label}: shape mismatches: {bad[:8]}"
+
+
+def test_unet_full_conversion():
+    sd = _zeros_sd(sd15_unet_keys())
+    tree = convert_state_dict(sd, translate_unet_key, strict=True)  # zero skips
+
+    from gaussctrl_exp_tpu.diffusion.unet import UNet2DCondition
+
+    unet = UNet2DCondition()
+    shapes = jax.eval_shape(
+        unet.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+    _assert_tree_match(tree, shapes, "unet")
+
+
+def test_controlnet_full_conversion():
+    sd = _zeros_sd(sd15_controlnet_keys())
+    tree = convert_state_dict(sd, translate_unet_key, strict=True)
+
+    from gaussctrl_exp_tpu.diffusion.controlnet import ControlNet
+
+    cn = ControlNet()
+    shapes = jax.eval_shape(
+        cn.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768)),
+        jnp.zeros((1, 64, 64, 3)),
+    )["params"]
+    _assert_tree_match(tree, shapes, "controlnet")
+
+
+def test_vae_full_conversion():
+    sd = _zeros_sd(sd15_vae_keys())
+    tree = convert_state_dict(sd, translate_vae_key, strict=True)
+
+    from gaussctrl_exp_tpu.diffusion.vae import AutoencoderKL
+
+    vae = AutoencoderKL()
+    shapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    _assert_tree_match(tree, shapes, "vae")
+
+
+def test_old_vae_attention_names():
+    """pre-0.13 diffusers VAE checkpoints (query/key/value/proj_attn)."""
+    ks = sd15_vae_keys()
+    old = {}
+    for k, shape in ks.items():
+        k2 = (
+            k.replace("attentions.0.to_q", "attentions.0.query")
+            .replace("attentions.0.to_k", "attentions.0.key")
+            .replace("attentions.0.to_v", "attentions.0.value")
+            .replace("attentions.0.to_out.0", "attentions.0.proj_attn")
+        )
+        old[k2] = np.zeros(shape, np.float32)
+    tree = convert_state_dict(old, translate_vae_key, strict=True)
+
+    from gaussctrl_exp_tpu.diffusion.vae import AutoencoderKL
+
+    shapes = jax.eval_shape(
+        AutoencoderKL().init, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    _assert_tree_match(tree, shapes, "vae-old-attn")
+
+
+def test_strict_raises_on_unknown_key():
+    sd = {"some.bogus.module.weight": np.zeros((3, 3), np.float32)}
+    with pytest.raises(ValueError, match="skipped"):
+        convert_state_dict(sd, translate_unet_key, strict=True)
+
+
+def test_proj_in_conv_squeezed():
+    """SD1.x 1×1-conv proj_in/out must land as Dense kernels (I, O)."""
+    sd = {
+        "mid_block.attentions.0.proj_in.weight": np.arange(16, dtype=np.float32).reshape(4, 4, 1, 1),
+        "mid_block.attentions.0.proj_in.bias": np.zeros(4, np.float32),
+    }
+    tree = convert_state_dict(sd, translate_unet_key)
+    k = tree["mid_attn_0"]["proj_in"]["kernel"]
+    assert k.shape == (4, 4)
+    np.testing.assert_array_equal(k, np.arange(16).reshape(4, 4).T)
