@@ -79,21 +79,24 @@ def run(cfg):
     out_dir = Path(cfg.output_dir) / cfg.experiment_name
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    # observability: JSONL + console (+TB) writer, config dump
+    # (gc_trainer.py:120-134, writer.put_config :133)
+    from ..engine.writer import EventWriter
+
+    writer = EventWriter(out_dir / "logs")
+    writer.put_config(cfg)
+
     trainer = Trainer(gs, dm, cfg.train)
     num_steps = min(cfg.pipeline.render_rate, cfg.max_num_iterations)
 
-    from PIL import Image
-
     def callback(m):
-        print(
-            f"step {m['step']:5d}  loss {m['main_loss']:.4f}  l1 {m['l1']:.4f}  "
-            f"ssim {m['ssim']:.3f}  alive {m['n_alive']}"
-        )
+        step = m.pop("step")
+        writer.put_scalars(step, m)
 
     for start in range(0, num_steps, cfg.steps_per_eval_image):
         n = min(cfg.steps_per_eval_image, num_steps - start)
         trainer.train(n, log_every=50, callback=callback)
-        # eval image (gc_trainer.py:226-227)
+        # eval image + eval-split metrics (gc_trainer.py:226-232)
         from ..models.gaussians import GaussianState
         from ..models.splat_model import render_model
 
@@ -102,18 +105,18 @@ def run(cfg):
             GaussianState(st.params, st.alive), dm.camera(0), st.step, cfg.train.model
         )
         rgb = np.clip(np.asarray(out.rgb), 0, 1)
-        Image.fromarray((rgb * 255).astype(np.uint8)).save(out_dir / f"eval_{trainer.step:05d}.png")
+        writer.put_image(trainer.step, "eval", rgb)
         if out.depth is not None:
             dimg = apply_depth_colormap(np.asarray(out.depth), np.asarray(out.alpha))
-            Image.fromarray((dimg * 255).astype(np.uint8)).save(
-                out_dir / f"eval_{trainer.step:05d}_depth.png"
-            )
+            writer.put_image(trainer.step, "eval_depth", dimg)
+        writer.put_scalars(trainer.step, trainer.evaluate())
         if trainer.step % cfg.steps_per_save < cfg.steps_per_eval_image:
             save_checkpoint(out_dir / "ckpts", trainer.state, trainer.step,
                             cfg.save_only_latest_checkpoint)
 
     save_checkpoint(out_dir / "ckpts", trainer.state, trainer.step, cfg.save_only_latest_checkpoint)
     (out_dir / "history.json").write_text(json.dumps(trainer.history, indent=1))
+    writer.close()
     print(f"[done] {trainer.step} steps, outputs in {out_dir}")
     return trainer
 

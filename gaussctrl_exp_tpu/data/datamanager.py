@@ -263,6 +263,19 @@ class DataManager:
             self._unseen = list(range(len(self.view_indices)))
         return i, self.images[i]
 
+    def image(self, i: int) -> np.ndarray:
+        return self.images[i]
+
+    def eval_indices(self, max_views: int = 8) -> list[int]:
+        """Views used for periodic image-metric eval. The reference's default
+        split is train_split_fraction=1.0 (gc_dataparser_ns.py:64 — eval =
+        train views); subsample evenly to bound eval cost."""
+        n = len(self)
+        if n <= max_views:
+            return list(range(n))
+        stride = n / max_views
+        return [int(i * stride) for i in range(max_views)]
+
     def write_back(self, i: int, image: np.ndarray) -> None:
         """Replace a cached train image with its edited version (ad_pipeline.py:241-242)."""
         self.images[i] = np.asarray(image, np.float32)

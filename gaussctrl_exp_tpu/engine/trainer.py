@@ -43,6 +43,13 @@ class TrainConfig:
     densify: DensifyConfig = DensifyConfig()
     model: SplatModelConfig = SplatModelConfig()
     seed: int = 42
+    # patch LPIPS term (reference gc_model.py:63-69: use_lpips=True,
+    # patch_size 32, lpips_loss_mult 1.0); needs pretrained weights passed to
+    # the Trainer/make_train_step, so default off
+    use_lpips: bool = False
+    patch_size: int = 32
+    lpips_loss_mult: float = 1.0
+    lpips_patches: int = 8  # random patches sampled per step
     # camera pose optimization (reference "camera_opt" group,
     # gc_config.py:50,84-87: lr 1e-3 → 5e-5, gradient accumulation 100)
     camera_opt: bool = False
@@ -91,13 +98,32 @@ def init_train_state(
     )
 
 
-def make_train_step(cfg: TrainConfig, optimizer=None):
+def _sample_patches(key, a, b, patch_size: int, n: int):
+    """n random aligned (patch_size² , 3) crops of both images (the jitted
+    equivalent of the reference's 32-px LPIPS patches, gc_model.py:67-69)."""
+    H, W, _ = a.shape
+    ky, kx = jax.random.split(key)
+    ys = jax.random.randint(ky, (n,), 0, H - patch_size + 1)
+    xs = jax.random.randint(kx, (n,), 0, W - patch_size + 1)
+
+    def cut(img):
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(img, (y, x, 0), (patch_size, patch_size, img.shape[-1]))
+        )(ys, xs)
+
+    return cut(a), cut(b)
+
+
+def make_train_step(cfg: TrainConfig, optimizer=None, lpips=None):
+    """``lpips``: optional (LPIPS module, params) pair — e.g.
+    ops.lpips.load_lpips(...) at deployment or lpips_random() in tests —
+    enabling the reference's patch-LPIPS loss term when cfg.use_lpips."""
     optimizer = optimizer or make_gaussian_optimizer(max_steps=cfg.max_steps)
     cam_optimizer = make_camera_optimizer(cfg) if cfg.camera_opt else None
 
     @jax.jit
     def train_step(state: TrainState, camera: Camera, gt: jnp.ndarray, view_idx=0):
-        key, bg_key = jax.random.split(state.key)
+        key, bg_key, patch_key = jax.random.split(state.key, 3)
         img_max_dim = float(max(camera.width, camera.height))
         use_cam = cfg.camera_opt and state.cam_deltas is not None
 
@@ -117,6 +143,12 @@ def make_train_step(cfg: TrainConfig, optimizer=None):
                 xys_offset=xys_offset,
             )
             loss, metrics = splatfacto_loss(out.rgb, gt, cfg.ssim_lambda)
+            if cfg.use_lpips and lpips is not None:
+                lp_model, lp_params = lpips
+                pp, gp = _sample_patches(patch_key, out.rgb, gt, cfg.patch_size, cfg.lpips_patches)
+                lp = jnp.mean(lp_model.apply({"params": lp_params}, pp, gp))
+                loss = loss + cfg.lpips_loss_mult * lp
+                metrics = dict(metrics, lpips=lp, main_loss=loss)
             return loss, (out, metrics)
 
         xys_offset = jnp.zeros((state.params.capacity, 2))
@@ -188,18 +220,21 @@ def make_reset_opacity_step(cfg: TrainConfig):
 class Trainer:
     """Host-side loop: sample views, step, refine at cadence (gc_trainer.py:176-255)."""
 
-    def __init__(self, gs: GaussianState, datamanager, cfg: TrainConfig = TrainConfig()):
+    def __init__(self, gs: GaussianState, datamanager, cfg: TrainConfig = TrainConfig(),
+                 lpips=None):
         self.cfg = cfg
         self.dm = datamanager
+        self.lpips = lpips
         self.optimizer = make_gaussian_optimizer(max_steps=cfg.max_steps)
         self.state = init_train_state(gs, cfg, self.optimizer, num_views=len(datamanager))
-        self.train_step = make_train_step(cfg, self.optimizer)
+        self.train_step = make_train_step(cfg, self.optimizer, lpips=lpips)
         self.refine_step = make_refine_step(
             cfg, float(max(self.dm.width, self.dm.height))
         )
         self.reset_opacity_step = make_reset_opacity_step(cfg)
         self.step = 0
         self.history: list[dict] = []
+        self._eval_fn = None
 
     def train(self, num_steps: int, log_every: int = 50, callback=None):
         d = self.cfg.densify
@@ -233,3 +268,37 @@ class Trainer:
                 if callback:
                     callback(m)
         return self.state
+
+    def evaluate(self, view_indices=None) -> dict:
+        """Eval-split image metrics: mean PSNR/SSIM (+ LPIPS when weights are
+        attached) over the given views — the reference's periodic image-metric
+        eval inherited from splatfacto (gc_trainer.py:226-232, gc_config.py:43)."""
+        from ..ops.ssim import psnr as psnr_fn
+        from ..ops.ssim import ssim as ssim_fn
+
+        if self._eval_fn is None:
+
+            @jax.jit
+            def _eval(state: TrainState, camera: Camera, gt: jnp.ndarray):
+                out = render_model(
+                    GaussianState(state.params, state.alive), camera, state.step, self.cfg.model
+                )
+                rgb = jnp.clip(out.rgb, 0.0, 1.0)
+                m = {"eval_psnr": psnr_fn(rgb, gt), "eval_ssim": ssim_fn(rgb, gt)}
+                if self.lpips is not None:
+                    lp_model, lp_params = self.lpips
+                    m["eval_lpips"] = jnp.mean(
+                        lp_model.apply({"params": lp_params}, rgb[None], gt[None])
+                    )
+                return m
+
+            self._eval_fn = _eval
+
+        indices = view_indices if view_indices is not None else self.dm.eval_indices()
+        acc: dict[str, float] = {}
+        for idx in indices:
+            gt = jnp.asarray(self.dm.image(idx))
+            m = self._eval_fn(self.state, self.dm.camera(idx), gt)
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+        return {k: v / max(len(list(indices)), 1) for k, v in acc.items()}

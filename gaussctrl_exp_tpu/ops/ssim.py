@@ -87,6 +87,13 @@ def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(a - b))
 
 
+def psnr(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    """Peak signal-to-noise ratio (the reference's eval metric, inherited from
+    splatfacto's image metrics, gc_trainer.py:226-227)."""
+    mse = jnp.mean((a - b) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
+
+
 def splatfacto_loss(
     pred: jnp.ndarray, gt: jnp.ndarray, ssim_lambda: float = 0.2
 ) -> tuple[jnp.ndarray, dict]:
@@ -94,4 +101,4 @@ def splatfacto_loss(
     l1_val = l1(pred, gt)
     ssim_val = ssim(pred, gt)
     loss = (1.0 - ssim_lambda) * l1_val + ssim_lambda * (1.0 - ssim_val)
-    return loss, {"l1": l1_val, "ssim": ssim_val, "main_loss": loss}
+    return loss, {"l1": l1_val, "ssim": ssim_val, "main_loss": loss, "psnr": psnr(pred, gt)}

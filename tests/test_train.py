@@ -44,6 +44,12 @@ class FakeDataManager:
     def camera(self, i):
         return self.cameras[i]
 
+    def image(self, i):
+        return self.images[i]
+
+    def eval_indices(self, max_views: int = 8):
+        return list(range(min(len(self.cameras), max_views)))
+
 
 def _make_target_scene():
     """Ground-truth scene rendered from 'true' gaussians → training images."""
@@ -202,6 +208,54 @@ class TestDensify:
             gs, opt_state, stats, jnp.int32(1000), jax.random.PRNGKey(0), cfg, 64.0
         )
         assert int(info["n_dropped"]) == 9  # 10 dups wanted, 1 slot free
+
+
+def test_lpips_in_train_loss():
+    """With use_lpips + weights, the jitted step adds the patch-LPIPS term
+    (reference defaults gc_model.py:63-69: patch 32, mult 1.0)."""
+    from gaussctrl_exp_tpu.ops.lpips import lpips_random
+
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(40, capacity=64, sh_degree=0, seed=5)
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        ),
+        densify=DensifyConfig(warmup_length=10_000),
+        use_lpips=True,
+        patch_size=16,  # images are 48x48 in this test
+        lpips_patches=2,
+    )
+    trainer = Trainer(gs, dm, cfg, lpips=lpips_random())
+    trainer.train(2, log_every=1)
+    m = trainer.history[-1]
+    assert "lpips" in m and np.isfinite(m["lpips"])
+    assert np.isfinite(m["main_loss"])
+    # main_loss includes the lpips term
+    base = (1 - 0.2) * m["l1"] + 0.2 * (1 - m["ssim"])
+    np.testing.assert_allclose(m["main_loss"], base + m["lpips"], rtol=1e-4)
+
+
+def test_evaluate_metrics():
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(40, capacity=64, sh_degree=0, seed=5)
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        ),
+        densify=DensifyConfig(warmup_length=10_000),
+    )
+    trainer = Trainer(gs, dm, cfg)
+    m = trainer.evaluate()
+    assert set(m) == {"eval_psnr", "eval_ssim"}
+    assert np.isfinite(m["eval_psnr"]) and -1.0 <= m["eval_ssim"] <= 1.0
+    # psnr appears in train metrics too
+    trainer.train(1, log_every=1)
+    assert "psnr" in trainer.history[-1]
 
 
 def test_camera_opt_accumulation():
