@@ -63,6 +63,7 @@ class ShardedRenderConfig:
     isect_capacity_per_device: int = 1 << 16  # per tile-band
     sh_degree: int = 3
     impl: str = "jnp"  # blend impl inside each band ("jnp" | "pallas")
+    pallas_interpret: bool = False  # interpret-mode pallas (CPU validation)
     max_per_tile: int = 512
     ssim_lambda: float = 0.2
 
@@ -98,7 +99,8 @@ def _band_blend(payload, band_idx, n_bands, cfg: ShardedRenderConfig):
         from ..ops.blend_pallas import rasterize_tiles_pallas
 
         out = rasterize_tiles_pallas(
-            payload["xys"], payload["conics"], chan, payload["opacs"], bins, Hb, W
+            payload["xys"], payload["conics"], chan, payload["opacs"], bins, Hb, W,
+            interpret=cfg.pallas_interpret,
         )
     else:
         order = bins.order
