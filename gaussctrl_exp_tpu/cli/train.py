@@ -61,6 +61,23 @@ def run(cfg):
     if cfg.pipeline.edit_prompt:
         from ..diffusion.pipeline import GaussCtrlEditPipeline, EditConfig
 
+        # mask source, in the reference's preference order: live Lang-SAM
+        # (SAM + text->box grounding) when checkpoints are configured, else
+        # precomputed mask_npy/ sidecars, else no masking (README.md:110-116)
+        mask_provider = None
+        if cfg.pipeline.langsam_obj and cfg.pipeline.sam_ckpt:
+            from ..segmentation.convert import load_sam
+            from ..segmentation.lang_sam import LangSAM
+
+            box_provider = None
+            if cfg.pipeline.clip_ckpt:
+                from ..segmentation.grounding import load_clip_grounder
+
+                box_provider = load_clip_grounder(cfg.pipeline.clip_ckpt)
+            mask_provider = LangSAM(
+                load_sam(cfg.pipeline.sam_ckpt), box_provider=box_provider
+            ).as_mask_provider()
+
         pipe = GaussCtrlEditPipeline(
             EditConfig(
                 edit_prompt=cfg.pipeline.edit_prompt,
@@ -71,9 +88,17 @@ def run(cfg):
                 chunk_size=cfg.pipeline.chunk_size,
                 ref_view_num=cfg.pipeline.ref_view_num,
                 diffusion_ckpt=cfg.pipeline.diffusion_ckpt,
-            )
+                sidecar_dir=cfg.pipeline.sidecar_dir or str(cfg.data),
+                resume_sidecars=cfg.pipeline.resume_sidecars,
+            ),
+            mask_provider=mask_provider,
         )
+        if mask_provider is None:
+            pipe.masks.update(dm.load_masks())  # precomputed mask_npy/ sidecars
         pipe.render_reverse(gs, dm, cfg.train.model)
+        if pipe.n_resumed:
+            print(f"[render_reverse] resumed {pipe.n_resumed} views from sidecars, "
+                  f"{pipe.n_inversions} inverted")
         pipe.edit_images(dm)
 
     out_dir = Path(cfg.output_dir) / cfg.experiment_name

@@ -34,6 +34,16 @@ class PipelineConfig:
     chunk_size: int = 5
     ref_view_num: int = 4
     diffusion_ckpt: str = "CompVis/stable-diffusion-v1-4"
+    # sidecar persistence/resume; "" = scene data dir (the reference keeps
+    # depth_npy/z_0/mask_npy/unedited inside the scene folder)
+    sidecar_dir: str = ""
+    resume_sidecars: bool = True
+    # Lang-SAM equivalents: local SAM checkpoint (segmentation/convert.py) and
+    # local CLIP checkpoint for text->box grounding (segmentation/grounding.py,
+    # replacing GroundingDINO, lang_sam.py:84-113). Empty = precomputed-mask /
+    # whole-frame fallbacks.
+    sam_ckpt: str = ""
+    clip_ckpt: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

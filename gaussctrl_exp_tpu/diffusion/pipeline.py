@@ -59,6 +59,11 @@ class EditConfig:
     self_attn_coeff_controlnet: float = 0.0
     controlnet_conditioning_scale: float = 1.0
     latent_size: int = 64  # 512² images → 64² latents
+    # sidecar round-trip (reference gc_dataset.py:129-158 + ad_pipeline.py:276-282
+    # + gc_render.py:826-838): render_reverse persists depth_npy/z_0/mask_npy/
+    # unedited per view and a later run resumes them, skipping render+inversion
+    sidecar_dir: str = ""  # "" = don't persist/resume
+    resume_sidecars: bool = True  # set False to force recompute
 
 
 def depth_to_disparity(depth: np.ndarray) -> np.ndarray:
@@ -104,6 +109,52 @@ class GaussCtrlEditPipeline:
         self.disparity: dict[int, np.ndarray] = {}
         self.masks: dict[int, np.ndarray] = {}
         self.unedited: dict[int, np.ndarray] = {}
+        self.n_inversions = 0  # views actually rendered+inverted this run
+        self.n_resumed = 0  # views loaded from sidecars
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _sidecar_paths(datamanager, local_i: int, root) -> dict:
+        """Reference sidecar layout: <root>/{depth_npy,z_0,mask_npy,unedited}/
+        frame_{global+1:05d}.npy — global frame numbering survives the 4×10
+        view subsetting (gc_dataparser_ns.py:408-420 discovery convention)."""
+        from pathlib import Path
+
+        gi = local_i
+        vi = getattr(datamanager, "view_indices", None)
+        if vi is not None:
+            gi = int(vi[local_i])
+        root = Path(root)
+        stem = f"frame_{gi + 1:05d}"
+        return {
+            "depth": root / "depth_npy" / f"{stem}.npy",
+            "z0": root / "z_0" / f"{stem}.npy",
+            "mask": root / "mask_npy" / f"{stem}.npy",
+            "unedited": root / "unedited" / f"{stem}.npy",
+        }
+
+    def _try_resume_sidecars(self, datamanager, idx: int, root) -> bool:
+        sp = self._sidecar_paths(datamanager, idx, root)
+        if not (sp["z0"].exists() and sp["depth"].exists() and sp["unedited"].exists()):
+            return False
+        depth = np.load(sp["depth"])
+        self.disparity[idx] = depth_to_disparity(depth)
+        self.z0[idx] = np.load(sp["z0"])
+        self.unedited[idx] = np.load(sp["unedited"])
+        if sp["mask"].exists():
+            self.masks[idx] = np.load(sp["mask"]).astype(np.float32)
+        self.n_resumed += 1
+        return True
+
+    def _write_sidecars(self, datamanager, idx: int, root, depth: np.ndarray) -> None:
+        sp = self._sidecar_paths(datamanager, idx, root)
+        for p in sp.values():
+            p.parent.mkdir(parents=True, exist_ok=True)
+        np.save(sp["depth"], np.asarray(depth, np.float32))
+        np.save(sp["z0"], self.z0[idx])
+        np.save(sp["unedited"], self.unedited[idx])
+        if idx in self.masks:
+            np.save(sp["mask"], self.masks[idx])
 
     # ------------------------------------------------------------------
     def _encode(self, texts: list[str]) -> jnp.ndarray:
@@ -111,12 +162,20 @@ class GaussCtrlEditPipeline:
         return encode_prompt_ids(self.models, ids)
 
     # ------------------------------------------------------------------
-    def render_reverse(self, gs, datamanager, model_cfg) -> None:
-        """Render + invert every training view (ad_pipeline.py:128-163)."""
+    def render_reverse(self, gs, datamanager, model_cfg, sidecar_root=None,
+                       force_recompute: bool = False) -> None:
+        """Render + invert every training view (ad_pipeline.py:128-163).
+
+        With a sidecar root (argument or cfg.sidecar_dir), views whose
+        depth/z_0/unedited sidecars exist are RESUMED from disk — zero render
+        + inversion work — and newly computed views are persisted
+        (gc_dataset.py:129-158 / ad_pipeline.py:276-282 round-trip)."""
         from ..models.gaussians import GaussianState
         from ..models.splat_model import render_model
 
         cfgp = self.cfg
+        root = sidecar_root or (cfgp.sidecar_dir or None)
+        resume = root is not None and cfgp.resume_sidecars and not force_recompute
         rev_ctx = self._encode([f"{cfgp.reverse_prompt}, {ADDED_PROMPT}"])
 
         render_jit = jax.jit(
@@ -131,6 +190,9 @@ class GaussCtrlEditPipeline:
         encode_jit = jax.jit(self.pipe.image_to_latent)
 
         for idx in range(len(datamanager)):
+            if resume and self._try_resume_sidecars(datamanager, idx, root):
+                print(f"[render_reverse] view {idx+1}/{len(datamanager)} (sidecar)", end="\r")
+                continue
             cam = datamanager.camera(idx)
             out = render_jit(gs.params, gs.alive, cam)
             rgb = np.clip(np.asarray(out.rgb), 0, 1)
@@ -141,10 +203,13 @@ class GaussCtrlEditPipeline:
             self.unedited[idx] = rgb
             self.disparity[idx] = disparity
             self.z0[idx] = np.asarray(z0[0])
+            self.n_inversions += 1
             if self.mask_provider is not None and cfgp.langsam_obj:
                 self.masks[idx] = np.asarray(
                     self.mask_provider(rgb, cfgp.langsam_obj), np.float32
                 )
+            if root is not None:
+                self._write_sidecars(datamanager, idx, root, depth)
             print(f"[render_reverse] view {idx+1}/{len(datamanager)}", end="\r")
         print()
 

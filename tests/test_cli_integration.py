@@ -74,10 +74,15 @@ def test_train_cli_end_to_end(mini_scene, tmp_path):
     trainer = run(cfg)
     assert trainer.step == 6
     out = tmp_path / "out" / "mini"
-    evals = list(out.glob("eval_*.png"))
+    evals = list((out / "logs").glob("eval_*.png"))  # EventWriter.put_image
     assert len(evals) >= 2
     assert (out / "ckpts").exists()
     assert (out / "history.json").exists()
+    # observability surface: JSONL scalars incl. eval metrics + config dump
+    events = (out / "logs" / "events.jsonl").read_text().strip().splitlines()
+    assert any("eval_psnr" in e for e in events)
+    assert any("main_loss" in e for e in events)
+    assert (out / "logs" / "config.json").exists()
 
 
 def _mini_ckpt(tmp_path, n=32, name="step-000000010.ckpt"):

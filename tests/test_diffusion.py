@@ -346,3 +346,65 @@ class TestEditPipeline:
         # every non-ref view + the 4 refs written once
         assert sorted(set(dm.writes)) == sorted(set(range(V)))
         assert dm.images.min() >= 0.0 and dm.images.max() <= 1.0
+
+    def test_sidecar_roundtrip(self, tiny_models, tmp_path):
+        """Second render_reverse on the same scene resumes every view from
+        sidecars — ZERO inversions (gc_dataset.py:129-158 round-trip)."""
+        from gaussctrl_exp_tpu.cameras import look_at, make_camera
+        from gaussctrl_exp_tpu.diffusion.pipeline import EditConfig, GaussCtrlEditPipeline
+        from gaussctrl_exp_tpu.models.gaussians import init_random
+        from gaussctrl_exp_tpu.models.splat_model import SplatModelConfig
+        from gaussctrl_exp_tpu.ops.renderer import RenderConfig
+
+        V, H, W = 3, 64, 64
+
+        class DM:
+            view_indices = [0, 2, 4]  # exercise global-frame numbering
+
+            def __len__(self):
+                return V
+
+            def camera(self, i):
+                ang = 0.3 * i
+                eye = np.array([4 * np.sin(ang), -4 * np.cos(ang), 1.0])
+                return make_camera(look_at(eye, np.zeros(3)), 70.0, 70.0, W / 2, H / 2, W, H)
+
+        class StubTE:
+            def __call__(self, input_ids, params=None):
+                import types
+
+                B = np.asarray(input_ids).shape[0]
+                return types.SimpleNamespace(
+                    last_hidden_state=jnp.zeros((B, 77, 32), jnp.float32)
+                )
+
+        def make_pipe():
+            m = tiny_models
+            m.text_encoder, m.text_params = StubTE(), None
+            cfg = EditConfig(edit_prompt="x", reverse_prompt="y",
+                             num_inference_steps=2, sidecar_dir=str(tmp_path))
+            return GaussCtrlEditPipeline(cfg, models=m)
+
+        gs = init_random(64, capacity=64, sh_degree=1, seed=0)
+        model_cfg = SplatModelConfig(
+            sh_degree=1, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        )
+        p1 = make_pipe()
+        p1.render_reverse(gs, DM(), model_cfg)
+        assert p1.n_inversions == V and p1.n_resumed == 0
+        assert (tmp_path / "z_0" / "frame_00003.npy").exists()  # global idx 2
+        assert (tmp_path / "depth_npy" / "frame_00001.npy").exists()
+
+        p2 = make_pipe()
+        p2.render_reverse(gs, DM(), model_cfg)
+        assert p2.n_inversions == 0 and p2.n_resumed == V
+        for i in range(V):
+            np.testing.assert_allclose(p2.z0[i], p1.z0[i])
+            np.testing.assert_allclose(p2.disparity[i], p1.disparity[i], atol=1e-6)
+            np.testing.assert_allclose(p2.unedited[i], p1.unedited[i])
+
+        # force_recompute overrides resume
+        p3 = make_pipe()
+        p3.render_reverse(gs, DM(), model_cfg, force_recompute=True)
+        assert p3.n_inversions == V and p3.n_resumed == 0

@@ -1,0 +1,118 @@
+"""Text→box grounding: CLIP patch-similarity proposal machinery + LangSAM
+composition (the reference's lang_sam.py:84-121 capability, GroundingDINO
+replaced by the OWL-ViT-style CLIP recipe in segmentation/grounding.py).
+
+Synthetic encoders stand in for CLIP weights (none in this env): patch
+embeddings are a fixed function of patch color, text embeddings pick the
+color channel — which exercises every part we own (heat map, thresholding,
+connected components, box scaling, SAM composition) and lets us assert the
+PROMPTED object is the one boxed."""
+
+import numpy as np
+import pytest
+
+from gaussctrl_exp_tpu.segmentation.grounding import (
+    ClipPatchBoxProvider,
+    heatmap_to_boxes,
+    similarity_heatmap,
+)
+
+
+def _color_patch_encoder(grid: int = 16):
+    """Patch embedding = mean RGB of the patch (D=3); text embedding = the
+    named channel's one-hot."""
+
+    def embed_patches(image):
+        H, W = image.shape[:2]
+        img = image.astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        ph, pw = H // grid, W // grid
+        out = img[: grid * ph, : grid * pw].reshape(grid, ph, grid, pw, 3).mean((1, 3))
+        return out
+
+    def embed_text(text):
+        return {
+            "red": np.array([1.0, 0.0, 0.0]),
+            "green": np.array([0.0, 1.0, 0.0]),
+            "blue": np.array([0.0, 0.0, 1.0]),
+        }[text]
+
+    return embed_patches, embed_text
+
+
+def _two_object_scene(H=128, W=128):
+    """Red square top-left, blue square bottom-right, gray background."""
+    img = np.full((H, W, 3), 0.3, np.float32)
+    img[16:48, 16:48] = [1.0, 0.05, 0.05]
+    img[80:112, 80:112] = [0.05, 0.05, 1.0]
+    return img
+
+
+def test_heatmap_similarity_basic():
+    patch = np.zeros((4, 4, 3), np.float32)
+    patch[1, 2] = [1, 0, 0]
+    heat = similarity_heatmap(patch, np.array([1.0, 0, 0]))
+    assert heat.shape == (4, 4)
+    assert heat[1, 2] == pytest.approx(1.0)
+    assert abs(heat[0, 0]) < 1e-6
+
+
+def test_heatmap_to_boxes_components():
+    heat = np.zeros((8, 8), np.float32)
+    heat[1:3, 1:3] = 1.0  # component A (4 patches)
+    heat[5:7, 5:6] = 0.9  # component B (2 patches)
+    boxes, scores = heatmap_to_boxes(heat, rel_threshold=0.5, min_area=2)
+    assert boxes.shape[0] == 2
+    np.testing.assert_array_equal(boxes[0], [1, 1, 3, 3])  # highest score first
+    np.testing.assert_array_equal(boxes[1], [5, 5, 6, 7])
+    assert scores[0] > scores[1]
+
+
+def test_heatmap_flat_no_boxes():
+    boxes, scores = heatmap_to_boxes(np.full((8, 8), 0.5, np.float32))
+    assert boxes.shape == (0, 4)
+
+
+def test_prompted_object_gets_the_box():
+    img = _two_object_scene()
+    ep, et = _color_patch_encoder()
+    provider = ClipPatchBoxProvider(ep, et, rel_threshold=0.6, min_area=1)
+
+    boxes_r, phrases, scores = provider(img, "red")
+    assert boxes_r.shape[0] >= 1 and phrases[0] == "red"
+    x0, y0, x1, y1 = boxes_r[0]
+    # box covers the red square (16..48) and not the blue one (80..112)
+    assert x0 <= 20 and y0 <= 20 and 40 <= x1 <= 64 and 40 <= y1 <= 64
+
+    boxes_b, _, _ = provider(img, "blue")
+    x0, y0, x1, y1 = boxes_b[0]
+    assert x0 >= 64 and y0 >= 64 and x1 >= 104 and y1 >= 104
+
+
+def test_langsam_composes_grounded_boxes():
+    """LangSAM.predict with the CLIP provider: the SAM mask is concentrated
+    inside/near the prompted object's box (random SAM weights → coarse
+    assertion: mask exists, right shape, mostly within the box half)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussctrl_exp_tpu.segmentation.lang_sam import LangSAM
+    from gaussctrl_exp_tpu.segmentation.sam import SAM, SAMConfig
+
+    cfg = SAMConfig(img_size=64, patch_size=8, encoder_dim=32, encoder_depth=2,
+                    encoder_heads=2, encoder_global_attn=(1,), window_size=4,
+                    prompt_dim=16, decoder_heads=2)
+    params = SAM(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.asarray([[8.0, 8.0, 40.0, 48.0]])
+    )
+    ep, et = _color_patch_encoder(grid=8)
+    ls = LangSAM(params, cfg, box_provider=ClipPatchBoxProvider(ep, et, rel_threshold=0.6, min_area=1))
+
+    img8 = (_two_object_scene(64, 64) * 255).astype(np.uint8)
+    masks, boxes, phrases, logits = ls.predict(img8, "red")
+    assert masks.shape[0] == boxes.shape[0] >= 1
+    assert masks.shape[1:] == (64, 64)
+    assert phrases[0] == "red"
+    # provider grounded the right object even if random-weight SAM masks are noise
+    assert boxes[0][0] < 32 and boxes[0][1] < 32
