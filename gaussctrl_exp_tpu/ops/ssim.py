@@ -52,7 +52,7 @@ def _filter_stack(stack: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
     return out
 
 
-def ssim(
+def ssim_map(
     a: jnp.ndarray,
     b: jnp.ndarray,
     data_range: float = 1.0,
@@ -61,7 +61,7 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jnp.ndarray:
-    """Mean SSIM between (H, W, C) images."""
+    """Per-window SSIM map between (H, W, C) images → (H−k+1, W−k+1, C)."""
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
@@ -80,7 +80,20 @@ def ssim(
 
     num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
     den = (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Mean SSIM between (H, W, C) images."""
+    return jnp.mean(ssim_map(a, b, data_range, kernel_size, sigma, k1, k2))
 
 
 def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

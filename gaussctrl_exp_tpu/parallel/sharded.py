@@ -45,7 +45,7 @@ from ..ops.binning import bin_gaussians
 from ..ops.projection import BLOCK, project_gaussians
 from ..ops.renderer import RenderConfig
 from ..ops.sh import eval_sh
-from ..ops.ssim import ssim as ssim_fn
+from ..ops.ssim import ssim_map
 from .. import cameras as cameras_lib
 
 
@@ -221,14 +221,31 @@ def make_sharded_render_loss(mesh: Mesh, cfg: ShardedRenderConfig):
         band_img, band_T = _band_blend(payload, band, n_model, cfg)
         band_rgb = jnp.minimum(band_img[..., :3], 1.0)  # black background
 
-        # gather the bands so the SSIM window statistics match the
-        # single-device loss exactly (3 MB over ICI; compute replicated)
-        rgb = jax.lax.all_gather(band_rgb, "model", axis=0, tiled=True)  # (H, W, 3)
-        l1 = jnp.mean(jnp.abs(rgb - gt_local))
-        ssim_full = ssim_fn(rgb, gt_local)
-        loss_local = (1 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * (1 - ssim_full)
-        # replicated within a model group already; mean over data groups
-        loss = jax.lax.pmean(jax.lax.pmean(loss_local, "model"), "data")
+        # --- band-local loss with a 10-row halo exchange: per-chip loss
+        # compute scales as H/n_model instead of replicating a full-image
+        # SSIM on every shard. The 11-px window statistics are IDENTICAL to
+        # the single-device loss (each band computes the output rows that
+        # start inside it, using its lower neighbor's first 10 rows via
+        # ppermute); only f32 summation order differs.
+        KS = 10  # kernel_size 11 → halo of 10 rows
+        halo = jax.lax.ppermute(
+            band_rgb[:KS], "model", [(b + 1, b) for b in range(n_model - 1)]
+        )  # band b receives band b+1's top rows; last band receives zeros
+        pred_pad = jnp.concatenate([band_rgb, halo], axis=0)  # (Hb+10, W, 3)
+        gt_pad = jnp.pad(gt_local, ((0, KS), (0, 0), (0, 0)))
+        gt_band = jax.lax.dynamic_slice(gt_pad, (band * Hb, 0, 0), (Hb + KS, W, 3))
+
+        l1_sum = jnp.sum(jnp.abs(band_rgb - gt_band[:Hb]))
+        smap = ssim_map(pred_pad, gt_band)  # (Hb, W-10, C)
+        row_valid = (band * Hb + jnp.arange(Hb)) < (H - KS)
+        ssim_sum = jnp.sum(jnp.where(row_valid[:, None, None], smap, 0.0))
+        ssim_cnt = jnp.sum(row_valid) * smap.shape[1] * smap.shape[2]
+
+        l1 = jax.lax.psum(l1_sum, "model") / (H * W * 3)
+        ssim_val = jax.lax.psum(ssim_sum, "model") / jax.lax.psum(ssim_cnt, "model")
+        loss_local = (1 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * (1 - ssim_val)
+        # model-axis already reduced by the psums; mean over data groups
+        loss = jax.lax.pmean(loss_local, "data")
         return loss
 
     return loss_fn
