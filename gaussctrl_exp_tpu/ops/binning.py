@@ -52,6 +52,8 @@ import jax.numpy as jnp
 from .projection import ProjectedGaussians
 
 ALIGN = 128  # chunk size of the Pallas blend stream (= blend_pallas.CHUNK)
+GROUP = 8  # tiles per blend-kernel output block (shared VMEM residency)
+SUPER = 4  # chunks per blend-kernel grid step (DMA/step-overhead amortization)
 _HUGE1 = 1 << 26  # sort-to-end key for invalid real slots
 _HUGE2 = 1 << 27  # sort-to-end key for unused pad entries
 
@@ -129,10 +131,25 @@ def bin_gaussians(
     tile_end = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
     tile_cnt = tile_end - tile_start
 
-    # 5. ALIGN-padded layout via KEY-SORT (no big-table gathers anywhere).
+    # 5. ALIGN-padded, GROUP/SUPER-structured layout via KEY-SORT (no
+    # big-table gathers anywhere). Layout invariants the blend kernels rely
+    # on: each ALIGN-chunk holds slots of ONE tile in depth order; chunks of
+    # one tile are consecutive; tiles of one GROUP are consecutive; each
+    # group's chunk count is padded to a multiple of SUPER so a grid step
+    # (SUPER chunks) never crosses a group boundary.
     aligned_capacity = _aligned_capacity(capacity, num_tiles)
+    n_groups = (num_tiles + GROUP - 1) // GROUP
     aligned_cnt = ((tile_cnt + ALIGN - 1) // ALIGN) * ALIGN
-    aligned_start = (jnp.cumsum(aligned_cnt) - aligned_cnt).astype(jnp.int32)
+    chunks_t = aligned_cnt // ALIGN  # (T,)
+    tpad = n_groups * GROUP - num_tiles
+    gch = jnp.pad(chunks_t, (0, tpad)).reshape(n_groups, GROUP)
+    group_chunks = gch.sum(axis=1)  # (n_groups,)
+    group_padded = ((group_chunks + SUPER - 1) // SUPER) * SUPER
+    group_start = jnp.cumsum(group_padded) - group_padded  # in chunks
+    within = jnp.cumsum(gch, axis=1) - gch  # per-tile offset inside group
+    aligned_start = (
+        ((group_start[:, None] + within).reshape(-1)[:num_tiles]) * ALIGN
+    ).astype(jnp.int32)
 
     # per-sorted-slot pad offset δ = aligned_start − tile_start, monotone in
     # tile id → mark at tile_start, cummax fill (collisions resolve to the
@@ -155,13 +172,32 @@ def bin_gaussians(
         (aligned_start + tile_cnt)[:, None] + j,
         _HUGE2 + tids[:, None] * ALIGN + j,
     ).reshape(-1)
-    pad_rank = jnp.full(pad_key.shape, N, jnp.int32)
-
+    # SUPER·128 potential pad entries per GROUP; the first
+    # (group_padded − group_chunks)·128 fill the group's whole-chunk pads,
+    # the rest sort past everything (the extra width also guarantees enough
+    # entries to fill the rounded-up static aligned_capacity)
+    jg = jnp.arange(SUPER * ALIGN, dtype=jnp.int32)[None, :]
+    gpadcnt = ((group_padded - group_chunks) * ALIGN)[:, None]  # (n_groups, 1)
+    gids = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+    gpad_key = jnp.where(
+        jg < gpadcnt,
+        ((group_start + group_chunks) * ALIGN)[:, None] + jg,
+        _HUGE2 + (num_tiles + gids) * (SUPER * ALIGN) + jg,
+    ).reshape(-1)
+    all_keys = jnp.concatenate([real_key, pad_key, gpad_key])
+    all_ranks = jnp.concatenate(
+        [real_rank, jnp.full(pad_key.shape, N, jnp.int32), jnp.full(gpad_key.shape, N, jnp.int32)]
+    )
+    shortfall = aligned_capacity - all_keys.shape[0]  # static; >0 only for tiny grids
+    if shortfall > 0:
+        all_keys = jnp.concatenate(
+            [all_keys, _HUGE2 + (1 << 22) + jnp.arange(shortfall, dtype=jnp.int32)]
+        )
+        all_ranks = jnp.concatenate([all_ranks, jnp.full(shortfall, N, jnp.int32)])
     _, aligned_rank = jax.lax.sort(
-        (jnp.concatenate([real_key, pad_key]), jnp.concatenate([real_rank, pad_rank])),
-        num_keys=1,
-        is_stable=True,
-    )  # (aligned_capacity,) rank per aligned slot, N where pad/invalid
+        (all_keys, all_ranks), num_keys=1, is_stable=True
+    )
+    aligned_rank = aligned_rank[:aligned_capacity]  # rank per aligned slot, N = pad
 
     # 6. per-chunk metadata (tile, base offset, count)
     nc = aligned_capacity // ALIGN
@@ -189,7 +225,10 @@ def bin_gaussians(
 
 
 def _aligned_capacity(capacity: int, num_tiles: int) -> int:
-    return capacity + num_tiles * ALIGN
+    n_groups = (num_tiles + GROUP - 1) // GROUP
+    cap = capacity + num_tiles * ALIGN + n_groups * (SUPER - 1) * ALIGN
+    q = SUPER * ALIGN
+    return (cap + q - 1) // q * q
 
 
 def estimate_capacity(num_tiles_hit: jnp.ndarray, slack: float = 1.5, minimum: int = 1 << 14) -> int:

@@ -51,13 +51,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import TileBins
+from .binning import GROUP, SUPER, TileBins
 from .blend import ALPHA_CLAMP, MIN_ALPHA, T_EPS, BlendOutputs
 from .projection import BLOCK
 
-CHUNK = 128  # gaussians per grid step (MXU-aligned; == binning.ALIGN)
+CHUNK = 128  # gaussians per chunk (MXU-aligned; == binning.ALIGN)
 NFIELD = 16  # packed field rows: x y ca cb cc opac c0..c3 (+pad)
 P = BLOCK * BLOCK  # 256 pixels per tile
+GP = GROUP * P  # pixels per output block (GROUP tiles resident together)
 
 
 def _pack_fields(xys, conics, colors, opacs) -> jnp.ndarray:
@@ -112,52 +113,63 @@ def _chunk_alphas(g, px, py, base, cnt):
 
 
 def _fwd_kernel(chunk_tile, chunk_base, chunk_cnt, g_ref, out_ref, done_s, *, tiles_x, n_chan):
-    """One CHUNK of the intersection stream against its tile's 256 pixels.
+    """One SUPER-step (SUPER chunks) against its GROUP's 8×256 pixels.
 
-    out block (1, P, 16): cols [0:n_chan) composited image, col 7 final_T,
-    col 8 done flag. Revisited by consecutive chunks of the same tile.
-    Padding chunks (base ≥ cnt) and fully-done tiles skip all compute;
-    the all-pixels-done carry lives in SMEM (done_s) so the skip test is a
-    scalar read, not a strided column load.
+    out block (1, GP, 16): GROUP tile rows of 256 pixels; per tile row,
+    cols [0:n_chan) composited image, col 7 final_T, col 8 done flag.
+    Revisited by consecutive supersteps of the same group (binning pads each
+    group's chunk count to a multiple of SUPER, so a step never crosses a
+    group). Group-first detection = the previous superstep's tile belongs to
+    a different group. Padding chunks (base ≥ cnt) and fully-done tiles skip
+    compute; per-tile all-pixels-done flags live in SMEM (done_s, (GROUP,)).
     """
-    c = pl.program_id(0)
-    t = chunk_tile[c]
-    base = chunk_base[c]
-    cnt = chunk_cnt[c]
+    s = pl.program_id(0)
+    c0 = s * SUPER
+    g0 = chunk_tile[c0] // GROUP
+    prev_g = chunk_tile[jnp.maximum(c0 - SUPER, 0)] // GROUP
 
-    @pl.when(base == 0)
+    @pl.when((s == 0) | (prev_g != g0))
     def _():
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, 16), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (GP, 16), 1)
         out_ref[0] = jnp.where(col == 7, 1.0, 0.0)  # img=0, T=1, done=0
-        done_s[0] = 0
+        for r in range(GROUP):
+            done_s[r] = 0
 
-    @pl.when((base < cnt) & (done_s[0] == 0))
-    def _():
-        px, py = _pixel_coords(t, tiles_x)
-        g = g_ref[:, :]  # (NFIELD, CHUNK)
-        aeff, one_minus, L, *_ = _chunk_alphas(g, px, py, base, cnt)
+    for sub in range(SUPER):
+        c = c0 + sub
+        t = chunk_tile[c]
+        base = chunk_base[c]
+        cnt = chunk_cnt[c]
+        row = t - g0 * GROUP
 
-        T_carry = out_ref[0, :, 7:8]
-        done = out_ref[0, :, 8:9] > 0.0
+        @pl.when((base < cnt) & (done_s[row] == 0))
+        def _(sub=sub, t=t, base=base, cnt=cnt, row=row):
+            px, py = _pixel_coords(t, tiles_x)
+            g = g_ref[:, sub * CHUNK : (sub + 1) * CHUNK]  # (NFIELD, CHUNK)
+            aeff, one_minus, L, *_ = _chunk_alphas(g, px, py, base, cnt)
 
-        cum_excl = jnp.dot(L, _triu_strict(), preferred_element_type=jnp.float32)
-        T_excl = T_carry * jnp.exp(cum_excl)  # (P, CHUNK)
-        T_after = T_excl * one_minus
-        comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
-        w = jnp.where(comp, aeff * T_excl, 0.0)
+            ro = pl.ds(row * P, P)
+            T_carry = out_ref[0, ro, 7:8]
+            done = out_ref[0, ro, 8:9] > 0.0
 
-        colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
-        contrib = jax.lax.dot_general(
-            w, colors, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (P, C)
-        out_ref[0, :, 0:n_chan] = out_ref[0, :, 0:n_chan] + contrib
+            cum_excl = jnp.dot(L, _triu_strict(), preferred_element_type=jnp.float32)
+            T_excl = T_carry * jnp.exp(cum_excl)  # (P, CHUNK)
+            T_after = T_excl * one_minus
+            comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
+            w = jnp.where(comp, aeff * T_excl, 0.0)
 
-        T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
-        broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
-        done_new = jnp.where(done | broke, 1.0, 0.0)
-        out_ref[0, :, 7:8] = T_new
-        out_ref[0, :, 8:9] = done_new
-        done_s[0] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
+            colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+            contrib = jax.lax.dot_general(
+                w, colors, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (P, C)
+            out_ref[0, ro, 0:n_chan] = out_ref[0, ro, 0:n_chan] + contrib
+
+            T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
+            broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
+            done_new = jnp.where(done | broke, 1.0, 0.0)
+            out_ref[0, ro, 7:8] = T_new
+            out_ref[0, ro, 8:9] = done_new
+            done_s[row] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
 def _bwd_kernel(
@@ -174,94 +186,107 @@ def _bwd_kernel(
     tiles_x,
     n_chan,
 ):
-    """Backward sweep over the same chunk stream: per-slot gradients.
+    """Backward sweep over the same superstep stream: per-slot gradients.
 
-    res_ref/gout_ref: (1, P, 16) forward residual / cotangent blocks of this
-    chunk's tile. sg_ref: (NFIELD, CHUNK) output block — every chunk writes
-    its own block (no gaps, no races). state: (P, 8) VMEM scratch persisting
-    across grid steps: col 0 T_carry, col 1 done, col 2 prefix_u.
+    res_ref/gout_ref: (1, GP, 16) forward residual / cotangent blocks of this
+    superstep's GROUP. sg_ref: (NFIELD, SUPER·CHUNK) output block — every
+    superstep writes its own block (no gaps, no races). state: (GP, 8) VMEM
+    scratch persisting across grid steps, one (P, 8) band per tile row:
+    col 0 T_carry, col 1 done, col 2 prefix_u.
     """
-    c = pl.program_id(0)
-    t = chunk_tile[c]
-    base = chunk_base[c]
-    cnt = chunk_cnt[c]
+    s = pl.program_id(0)
+    c0 = s * SUPER
+    g0 = chunk_tile[c0] // GROUP
+    prev_g = chunk_tile[jnp.maximum(c0 - SUPER, 0)] // GROUP
 
-    @pl.when(base == 0)
+    @pl.when((s == 0) | (prev_g != g0))
     def _():
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (GP, 8), 1)
         state[:, :] = jnp.where(col == 0, 1.0, 0.0)  # T=1, done=0, prefix_u=0
-        done_s[0] = 0
+        for r in range(GROUP):
+            done_s[r] = 0
 
-    work = (base < cnt) & (done_s[0] == 0)
+    for sub in range(SUPER):
+        c = c0 + sub
+        t = chunk_tile[c]
+        base = chunk_base[c]
+        cnt = chunk_cnt[c]
+        row = t - g0 * GROUP
+        work = (base < cnt) & (done_s[row] == 0)
+        so = pl.ds(sub * CHUNK, CHUNK)
 
-    @pl.when(jnp.logical_not(work))
-    def _():
-        sg_ref[:, :] = jnp.zeros((NFIELD, CHUNK), jnp.float32)
+        @pl.when(jnp.logical_not(work))
+        def _(so=so):
+            sg_ref[:, so] = jnp.zeros((NFIELD, CHUNK), jnp.float32)
 
-    @pl.when(work)
-    def _():
-        px, py = _pixel_coords(t, tiles_x)
-        tri = _triu_strict()
-        g = g_ref[:, :]
-        aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis = _chunk_alphas(g, px, py, base, cnt)
+        @pl.when(work)
+        def _(sub=sub, t=t, base=base, cnt=cnt, row=row, so=so):
+            px, py = _pixel_coords(t, tiles_x)
+            tri = _triu_strict()
+            g = g_ref[:, so]
+            aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis = _chunk_alphas(g, px, py, base, cnt)
 
-        res = res_ref[0]  # (P, 16)
-        img = res[:, :n_chan]
-        T_final = res[:, 7:8]
-        gout = gout_ref[0]
-        g_img = gout[:, :n_chan]
-        g_T = gout[:, 7:8]
-        img_dot_g = jnp.sum(img * g_img, axis=1, keepdims=True)  # (P, 1)
-        gT_Tfinal = g_T * T_final
+            ro = pl.ds(row * P, P)
+            res = res_ref[0, ro, :]  # (P, 16)
+            img = res[:, :n_chan]
+            T_final = res[:, 7:8]
+            gout = gout_ref[0, ro, :]
+            g_img = gout[:, :n_chan]
+            g_T = gout[:, 7:8]
+            img_dot_g = jnp.sum(img * g_img, axis=1, keepdims=True)  # (P, 1)
+            gT_Tfinal = g_T * T_final
 
-        T_carry = state[:, 0:1]
-        done = state[:, 1:2] > 0.0
-        prefix_u = state[:, 2:3]
+            T_carry = state[ro, 0:1]
+            done = state[ro, 1:2] > 0.0
+            prefix_u = state[ro, 2:3]
 
-        cum_excl = jnp.dot(L, tri, preferred_element_type=jnp.float32)
-        T_excl = T_carry * jnp.exp(cum_excl)
-        T_after = T_excl * one_minus
-        comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
-        compf = comp.astype(jnp.float32)
-        w = aeff * T_excl * compf
+            cum_excl = jnp.dot(L, tri, preferred_element_type=jnp.float32)
+            T_excl = T_carry * jnp.exp(cum_excl)
+            T_after = T_excl * one_minus
+            comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
+            compf = comp.astype(jnp.float32)
+            w = aeff * T_excl * compf
 
-        colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
-        cg = jnp.dot(g_img, colors, preferred_element_type=jnp.float32)  # (P, CHUNK)
-        u = w * cg
-        tri_incl = tri + jnp.eye(CHUNK, dtype=jnp.float32)
-        prefix_incl = prefix_u + jnp.dot(u, tri_incl, preferred_element_type=jnp.float32)
-        suffix = img_dot_g - prefix_incl  # Σ_{k>j} u_k (within + later chunks)
+            colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+            cg = jnp.dot(g_img, colors, preferred_element_type=jnp.float32)  # (P, CHUNK)
+            u = w * cg
+            tri_incl = tri + jnp.eye(CHUNK, dtype=jnp.float32)
+            prefix_incl = prefix_u + jnp.dot(u, tri_incl, preferred_element_type=jnp.float32)
+            suffix = img_dot_g - prefix_incl  # Σ_{k>j} u_k (within + later chunks)
 
-        dalpha = compf * (T_excl * cg - (suffix + gT_Tfinal) / one_minus)
-        dsigma = -(op * vis) * dalpha  # gsplat: no gating on the 0.999 clamp
-        dopac = vis * dalpha
+            dalpha = compf * (T_excl * cg - (suffix + gT_Tfinal) / one_minus)
+            dsigma = -(op * vis) * dalpha  # gsplat: no gating on the 0.999 clamp
+            dopac = vis * dalpha
 
-        gdx = dsigma * (ca * dx + cb * dy)
-        gdy = dsigma * (cb * dx + cc * dy)
-        # color grads transposed: dC[c', k] = Σ_p g_img[p,c']·w[p,k]  (C, CHUNK)
-        dcolT = jax.lax.dot_general(
-            g_img, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            gdx = dsigma * (ca * dx + cb * dy)
+            gdy = dsigma * (cb * dx + cc * dy)
+            # color grads transposed: dC[c', k] = Σ_p g_img[p,c']·w[p,k]  (C, CHUNK)
+            dcolT = jax.lax.dot_general(
+                g_img, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
-        sg_ref[0:1, :] = jnp.sum(gdx, axis=0, keepdims=True)
-        sg_ref[1:2, :] = jnp.sum(gdy, axis=0, keepdims=True)
-        sg_ref[2:3, :] = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
-        sg_ref[3:4, :] = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
-        sg_ref[4:5, :] = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
-        sg_ref[5:6, :] = jnp.sum(dopac, axis=0, keepdims=True)
-        sg_ref[6 : 6 + n_chan, :] = dcolT
-        sg_ref[6 + n_chan :, :] = jnp.zeros((NFIELD - 6 - n_chan, CHUNK), jnp.float32)
+            sg_ref[0:1, so] = jnp.sum(gdx, axis=0, keepdims=True)
+            sg_ref[1:2, so] = jnp.sum(gdy, axis=0, keepdims=True)
+            sg_ref[2:3, so] = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
+            sg_ref[3:4, so] = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
+            sg_ref[4:5, so] = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
+            sg_ref[5:6, so] = jnp.sum(dopac, axis=0, keepdims=True)
+            sg_ref[6 : 6 + n_chan, so] = dcolT
+            sg_ref[6 + n_chan :, so] = jnp.zeros((NFIELD - 6 - n_chan, CHUNK), jnp.float32)
 
-        T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
-        broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
-        done_new = jnp.where(done | broke, 1.0, 0.0)
-        state[:, 0:1] = T_new
-        state[:, 1:2] = done_new
-        state[:, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
-        done_s[0] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
+            T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
+            broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
+            done_new = jnp.where(done | broke, 1.0, 0.0)
+            state[ro, 0:1] = T_new
+            state[ro, 1:2] = done_new
+            state[ro, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+            done_s[row] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
-def _tiles_to_image(out_tiles, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
+def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
+    # group blocks (n_groups, GP, 16) → per-tile (num_tiles, P, 16); groups
+    # are contiguous runs of GROUP tiles so this is a pure reshape
+    out_tiles = out_groups.reshape(-1, P, 16)[: tiles_y * tiles_x]
     # tiles with zero chunks were never visited: force img=0, T=1 there
     empty = (tile_cnt == 0)[:, None, None]
     img = jnp.where(empty, 0.0, out_tiles[:, :, :n_chan])
@@ -287,7 +312,11 @@ def _image_to_tiles(img, finalT, tiles_y, tiles_x, n_chan):
          jnp.zeros((img.shape[0], P, 8))],
         axis=-1,
     )
-    return packed
+    # per-tile (num_tiles, P, 16) → group blocks (n_groups, GP, 16)
+    num_tiles = packed.shape[0]
+    n_groups = (num_tiles + GROUP - 1) // GROUP
+    packed = jnp.pad(packed, ((0, n_groups * GROUP - num_tiles), (0, 0), (0, 0)))
+    return packed.reshape(n_groups, GP, 16)
 
 
 def _bins_tuple(bins: TileBins):
@@ -334,8 +363,9 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
+    n_groups = (num_tiles + GROUP - 1) // GROUP
     n_chan = colors.shape[1]
-    nc = aligned_capacity // CHUNK
+    ns = aligned_capacity // (SUPER * CHUNK)  # supersteps
 
     # rank-major fields with one extra zero column at index N: aligned_rank
     # uses rank N as the pad sentinel, so pads gather zeros (then the kernel's
@@ -347,24 +377,26 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nc,),
+        grid=(ns,),
         in_specs=[
-            pl.BlockSpec((NFIELD, CHUNK), lambda c, ct, cb, cc_: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NFIELD, SUPER * CHUNK), lambda s, ct, cb, cc_: (0, s),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, P, 16), lambda c, ct, cb, cc_: (ct[c], 0, 0), memory_space=pltpu.VMEM
+            (1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((GROUP,), jnp.int32)],
     )
-    out_tiles = pl.pallas_call(
+    out_groups = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, n_chan=n_chan),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_groups, GP, 16), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(chunk_tile, chunk_base, chunk_cnt, vals)
 
-    img, finalT = _tiles_to_image(out_tiles, tiles_y, tiles_x, H, W, n_chan, tile_cnt)
-    return (img, finalT), (vals, out_tiles)
+    img, finalT = _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt)
+    return (img, finalT), (vals, out_groups)
 
 
 def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned_capacity, interpret):
@@ -375,36 +407,38 @@ def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
 
 def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
-    vals, out_tiles, bins_arrays, N = res
+    vals, out_groups, bins_arrays, N = res
     order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     g_img, g_finalT = cots
     n_chan = g_img.shape[-1]
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
-    num_tiles = tiles_x * tiles_y
-    nc = aligned_capacity // CHUNK
+    ns = aligned_capacity // (SUPER * CHUNK)
 
-    gout = _image_to_tiles(g_img, g_finalT, tiles_y, tiles_x, n_chan)
+    gout = _image_to_tiles(g_img, g_finalT, tiles_y, tiles_x, n_chan)  # (n_groups, GP, 16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nc,),
+        grid=(ns,),
         in_specs=[
-            pl.BlockSpec((NFIELD, CHUNK), lambda c, ct, cb, cc_: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 16), lambda c, ct, cb, cc_: (ct[c], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 16), lambda c, ct, cb, cc_: (ct[c], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NFIELD, SUPER * CHUNK), lambda s, ct, cb, cc_: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (NFIELD, CHUNK), lambda c, ct, cb, cc_: (0, c), memory_space=pltpu.VMEM
+            (NFIELD, SUPER * CHUNK), lambda s, ct, cb, cc_: (0, s), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32), pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((GP, 8), jnp.float32), pltpu.SMEM((GROUP,), jnp.int32)],
     )
     slot_grads = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, n_chan=n_chan),
         out_shape=jax.ShapeDtypeStruct((NFIELD, aligned_capacity), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(chunk_tile, chunk_base, chunk_cnt, vals, out_tiles, gout)
+    )(chunk_tile, chunk_base, chunk_cnt, vals, out_groups, gout)
 
     # ---- slot grads (aligned layout) → per-gaussian grads, scatter-free ----
     # Sorts are ~free on TPU (measured), big-table gathers are not: sort the
