@@ -114,6 +114,11 @@ def run(cfg):
     trainer = Trainer(gs, dm, cfg.train)
     num_steps = min(cfg.pipeline.render_rate, cfg.max_num_iterations)
 
+    if cfg.viewer_port:
+        from .viewer import attach_live_viewer
+
+        attach_live_viewer(trainer, dm, cfg.train.model, cfg.viewer_port)
+
     def callback(m):
         step = m.pop("step")
         writer.put_scalars(step, m)

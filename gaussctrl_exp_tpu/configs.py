@@ -60,6 +60,7 @@ class GaussCtrlConfig:
     save_only_latest_checkpoint: bool = True
     seed: int = 42
     capacity: int = 1 << 17
+    viewer_port: int = 0  # >0: serve the live viewer during training
     pipeline: PipelineConfig = PipelineConfig()
     train: TrainConfig = TrainConfig()
     datamanager: DataManagerConfig = dataclasses.field(default_factory=DataManagerConfig)
