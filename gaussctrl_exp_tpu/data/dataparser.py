@@ -37,7 +37,7 @@ class DataParserConfig:
     orientation_method: Literal["up", "none"] = "up"
     center_method: Literal["poses", "none"] = "poses"
     auto_scale_poses: bool = True
-    eval_mode: Literal["fraction", "interval", "all"] = "fraction"
+    eval_mode: Literal["fraction", "filename", "interval", "all"] = "fraction"
     train_split_fraction: float = 1.0  # reference default: all views train
     eval_interval: int = 8
     load_3D_points: bool = True
@@ -114,14 +114,47 @@ def auto_orient_and_center_poses(
     return oriented.astype(np.float32), transform.astype(np.float32)
 
 
-def _split_indices(n: int, cfg: DataParserConfig, split: str) -> np.ndarray:
+def _split_indices(
+    n: int, cfg: DataParserConfig, split: str, names=None, meta=None
+) -> np.ndarray:
+    """Train/eval split (gc_dataparser_ns.py:210-246): explicit
+    ``{split}_filenames`` lists in transforms.json override everything; else
+    eval_mode ∈ fraction | filename | interval | all."""
+    is_train = split == "train"
+    if meta is not None and any(
+        f"{s}_filenames" in meta for s in ("train", "val", "test")
+    ):
+        key = "train_filenames" if is_train else (
+            "test_filenames" if split == "test" and "test_filenames" in meta else "val_filenames"
+        )
+        if key not in meta:
+            raise RuntimeError(f"transforms.json has split filename lists but not {key}")
+        wanted = {Path(w).name for w in meta[key]}
+        idx = [i for i, nm in enumerate(names) if Path(nm).name in wanted]
+        missing = wanted - {Path(names[i]).name for i in idx}
+        if missing:
+            raise RuntimeError(f"split {split} filenames not found: {sorted(missing)[:4]}")
+        return np.asarray(idx, dtype=int)
     if cfg.eval_mode == "all":
         return np.arange(n)
+    if cfg.eval_mode == "filename":
+        # nerfstudio get_train_eval_split_filename: frames whose name contains
+        # "train" are train; "eval"/"test" are eval
+        i_train = [i for i, nm in enumerate(names) if "train" in Path(nm).name]
+        i_eval = [
+            i for i, nm in enumerate(names)
+            if "eval" in Path(nm).name or "test" in Path(nm).name
+        ]
+        if not i_train and not i_eval:
+            raise RuntimeError(
+                'eval_mode="filename" needs "train"/"eval"/"test" in the image names'
+            )
+        return np.asarray(i_train if is_train else i_eval, dtype=int)
     if cfg.eval_mode == "interval":
         all_idx = np.arange(n)
         i_eval = all_idx[:: cfg.eval_interval]
         i_train = np.setdiff1d(all_idx, i_eval)
-        return i_train if split == "train" else i_eval
+        return i_train if is_train else i_eval
     # fraction (nerfstudio: evenly-spaced train subset)
     num_train = int(np.ceil(n * cfg.train_split_fraction))
     num_eval = n - num_train
@@ -130,7 +163,7 @@ def _split_indices(n: int, cfg: DataParserConfig, split: str) -> np.ndarray:
         return all_idx
     train_idx = np.linspace(0, n - 1, num_train, dtype=int)
     eval_idx = np.setdiff1d(all_idx, train_idx)
-    return train_idx if split == "train" else eval_idx
+    return train_idx if is_train else eval_idx
 
 
 def load_scene(cfg: DataParserConfig, split: str = "train") -> DataparserOutputs:
@@ -155,7 +188,7 @@ def load_scene(cfg: DataParserConfig, split: str = "train") -> DataparserOutputs
         names.append(fr["file_path"])
     poses = np.stack(poses)
 
-    indices = _split_indices(len(frames), cfg, split)
+    indices = _split_indices(len(frames), cfg, split, names=names, meta=meta)
 
     oriented, transform = auto_orient_and_center_poses(
         poses, cfg.orientation_method, cfg.center_method

@@ -246,18 +246,32 @@ class Trainer:
             )
             self.step += 1
 
-            # AFTER_TRAIN_ITERATION callbacks (densify/prune/opacity reset)
+            # AFTER_TRAIN_ITERATION callbacks — EXACT splatfacto cadence
+            # (nerfstudio splatfacto.refinement_after, inherited by the
+            # reference via gc_model.py:31): densify only once every image
+            # has been seen since the last opacity reset (in-cycle position
+            # > num_train_data + refine_every); cull-only after stop_split_at
+            # when continue_cull_post_densification; opacity reset one
+            # refine-cycle after each reset_interval boundary.
             if (
                 self.step > d.warmup_length
                 and self.step % d.refine_every == 0
             ):
-                reset_period = d.reset_alpha_every * d.refine_every
-                do_reset_soon = (self.step % reset_period) < d.refine_every * 2
-                if self.step < d.stop_split_at and not do_reset_soon:
+                reset_interval = d.reset_alpha_every * d.refine_every
+                pos = self.step % reset_interval
+                num_train = len(self.dm)
+                do_densify = (
+                    self.step < d.stop_split_at
+                    and pos > num_train + d.refine_every
+                )
+                if do_densify:
                     self.state, info = self.refine_step(self.state)
-                elif self.step >= d.stop_split_at:
-                    self.state, info = self.refine_step(self.state)  # cull-only regime
-                if self.step % reset_period == 0 and self.step < d.stop_split_at:
+                elif (
+                    self.step >= d.stop_split_at
+                    and d.continue_cull_post_densification
+                ):
+                    self.state, info = self.refine_step(self.state)  # cull-only
+                if self.step < d.stop_split_at and pos == d.refine_every:
                     self.state = self.reset_opacity_step(self.state)
 
             if self.step % log_every == 0 or self.step == 1:

@@ -51,6 +51,7 @@ class DensifyConfig:
     split_screen_size: float = 0.05
     stop_screen_size_at: int = 4_000
     split_scale_div: float = 1.6
+    continue_cull_post_densification: bool = True  # splatfacto default
 
 
 class DensifyStats(NamedTuple):

@@ -85,7 +85,12 @@ def render_model(
     )
     colors = model_colors(params, camera, step, cfg)
     extra_mask = state.alive if crop_mask is None else (state.alive & crop_mask)
-    rcfg = cfg.render if training or cfg.render.render_depth else cfg.render
+    # the training loss consumes only rgb (the reference renders depth only
+    # at eval, gc_model.py:224-238) — drop the depth blend channel in the
+    # jitted train step
+    rcfg = (
+        dataclasses.replace(cfg.render, render_depth=False) if training else cfg.render
+    )
     out = render(
         params.means,
         jnp.exp(params.scales),

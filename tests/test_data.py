@@ -117,6 +117,35 @@ def test_datamanager_subsetting_and_sampling():
     assert dm.images[0].max() > 0.0
 
 
+def test_split_modes():
+    """filename eval mode + explicit {split}_filenames override
+    (gc_dataparser_ns.py:210-246)."""
+    import numpy as np
+
+    from gaussctrl_exp_tpu.data.dataparser import DataParserConfig, _split_indices
+
+    names = ["images/train_00.jpg", "images/eval_01.jpg", "images/train_02.jpg",
+             "images/test_03.jpg"]
+    cfg = DataParserConfig(eval_mode="filename")
+    np.testing.assert_array_equal(_split_indices(4, cfg, "train", names=names), [0, 2])
+    np.testing.assert_array_equal(_split_indices(4, cfg, "val", names=names), [1, 3])
+
+    # names without markers -> error
+    import pytest
+
+    with pytest.raises(RuntimeError, match="filename"):
+        _split_indices(2, cfg, "train", names=["images/a.jpg", "images/b.jpg"])
+
+    # explicit lists in transforms.json override eval_mode entirely
+    meta = {"train_filenames": ["images/b.jpg"], "val_filenames": ["images/a.jpg"]}
+    plain = ["images/a.jpg", "images/b.jpg"]
+    cfg2 = DataParserConfig(eval_mode="all")
+    np.testing.assert_array_equal(_split_indices(2, cfg2, "train", names=plain, meta=meta), [1])
+    np.testing.assert_array_equal(_split_indices(2, cfg2, "val", names=plain, meta=meta), [0])
+    with pytest.raises(RuntimeError, match="not found"):
+        _split_indices(2, cfg2, "train", names=plain, meta={"train_filenames": ["images/zz.jpg"]})
+
+
 def test_camera_from_datamanager():
     dm = DataManager(DataManagerConfig(dataparser=DataParserConfig(data=BEAR)))
     cam = dm.camera(0)

@@ -210,6 +210,54 @@ class TestDensify:
         assert int(info["n_dropped"]) == 9  # 10 dups wanted, 1 slot free
 
 
+def test_refine_cadence_matches_splatfacto():
+    """Pin the densify/reset schedule to splatfacto's refinement_after:
+    densify iff step>warmup ∧ step%refine==0 ∧ step<stop ∧
+    (step%reset_interval) > num_train+refine; cull-only when step≥stop;
+    reset iff step<stop ∧ (step%reset_interval)==refine."""
+    from unittest import mock
+
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(40, capacity=64, sh_degree=0, seed=5)
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        ),
+        densify=DensifyConfig(warmup_length=3, refine_every=2, reset_alpha_every=8,
+                              stop_split_at=25),
+    )
+    trainer = Trainer(gs, dm, cfg)
+    refines, resets = [], []
+    real_refine, real_reset = trainer.refine_step, trainer.reset_opacity_step
+    trainer.refine_step = lambda s: (refines.append(trainer.step), real_refine(s))[1]
+    trainer.reset_opacity_step = lambda s: (resets.append(trainer.step), real_reset(s))[1]
+    trainer.train(32, log_every=100)
+
+    d = cfg.densify
+    reset_interval = d.reset_alpha_every * d.refine_every  # 8
+    num_train = len(dm)  # 4
+    exp_refine, exp_reset = [], []
+    for step in range(1, 33):
+        if step <= d.warmup_length or step % d.refine_every:
+            continue
+        pos = step % reset_interval
+        if step < d.stop_split_at and pos > num_train + d.refine_every:
+            exp_refine.append(step)
+        elif step >= d.stop_split_at and d.continue_cull_post_densification:
+            exp_refine.append(step)
+        if step < d.stop_split_at and pos == d.refine_every:
+            exp_reset.append(step)
+    assert refines == exp_refine, (refines, exp_refine)
+    assert resets == exp_reset, (resets, exp_reset)
+    # sanity on the oracle itself: reset at cycle+refine; densify pauses for
+    # the grace window after a reset; cull-only continues past stop_split_at
+    assert exp_reset == [18]
+    assert 8 in exp_refine and all(s not in exp_refine for s in (18, 20, 22))
+    assert all(s in exp_refine for s in (26, 28, 30, 32))
+
+
 def test_lpips_in_train_loss():
     """With use_lpips + weights, the jitted step adds the patch-LPIPS term
     (reference defaults gc_model.py:63-69: patch 32, mult 1.0)."""
