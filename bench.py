@@ -35,7 +35,7 @@ from gaussctrl_exp_tpu.cameras import camera_matrices, look_at, make_camera
 from gaussctrl_exp_tpu.data.ply import read_ply_points
 from gaussctrl_exp_tpu.ops.binning import bin_gaussians, estimate_capacity
 from gaussctrl_exp_tpu.ops.blend_pallas import rasterize_tiles_pallas
-from gaussctrl_exp_tpu.ops.projection import project_gaussians
+from gaussctrl_exp_tpu.ops.projection import BLOCK, project_gaussians
 from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 S = 512
@@ -70,15 +70,29 @@ def load_scene():
     )
 
 
-def main():
-    means, scales, quats, chan, opacs = load_scene()
-    N = means.shape[0]
+def load_scene_high_n(n: int = 300_000):
+    """Garden-scale high-N scene (BASELINE config 3): a trained-out 3DGS scene
+    after densification runs at O(10⁵–10⁶) gaussians; no trained checkpoint
+    ships in-repo, so this synthesizes a realistic high-N operating point
+    (dense cloud, small anisotropic splats — post-densify statistics)."""
+    rng = np.random.default_rng(7)
+    return (
+        jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 1.2),
+        jnp.asarray(np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.4 - 5.3)),
+        jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+    )
+
+
+def bench_scene(scene, k_hi=K):
+    means, scales, quats, chan, opacs = scene
     cam = make_camera(
         look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3)),
         fx=S * 1.05, fy=S * 1.05, cx=S / 2, cy=S / 2, width=S, height=S,
     )
     vm, pm, fm = camera_matrices(cam)
-    tx = ty = (S + 15) // 16
+    tx = ty = (S + BLOCK - 1) // BLOCK
     rng = np.random.default_rng(1)
     target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
 
@@ -117,7 +131,7 @@ def main():
         return run
 
     walls = {}
-    for Ki in (5, K):
+    for Ki in (5, k_hi):
         run = make_run(Ki)
         jax.device_get(run(means))  # compile + warm
         best = float("inf")
@@ -126,19 +140,37 @@ def main():
             jax.device_get(run(means))
             best = min(best, time.time() - t0)
         walls[Ki] = best
-    ms_per_frame = (walls[K] - walls[5]) / (K - 5) * 1e3
-    mpix_s = S * S / (ms_per_frame / 1e3) / 1e6
+    return (walls[k_hi] - walls[5]) / (k_hi - 5) * 1e3, n_isects
 
-    print(
-        json.dumps(
-            {
-                "metric": f"512x512 render fwd+bwd, bear-scale ({N} gaussians), 1 chip",
-                "value": round(ms_per_frame, 2),
-                "unit": "ms/frame",
-                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
-            }
-        )
-    )
+
+def main():
+    import os
+
+    bear = load_scene()
+    n_bear = bear[0].shape[0]
+    ms_bear, isects_bear = bench_scene(bear)
+    mpix_s = S * S / (ms_bear / 1e3) / 1e6
+
+    result = {
+        "metric": f"512x512 render fwd+bwd, bear-scale ({n_bear} gaussians), 1 chip",
+        "value": round(ms_bear, 2),
+        "unit": "ms/frame",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }
+
+    # BASELINE config 3: garden-scale high-N (post-densify operating point).
+    # Skippable for quick runs: BENCH_FAST=1 prints only the headline config.
+    if not os.environ.get("BENCH_FAST"):
+        garden = load_scene_high_n()
+        ms_garden, isects_garden = bench_scene(garden, k_hi=25)
+        result["garden_high_n"] = {
+            "gaussians": int(garden[0].shape[0]),
+            "intersections": int(isects_garden),
+            "ms_per_frame": round(ms_garden, 2),
+            "mpix_s": round(S * S / (ms_garden / 1e3) / 1e6, 1),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

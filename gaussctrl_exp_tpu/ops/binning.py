@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from .projection import ProjectedGaussians
+from .scan2d import cummax1d, cumsum1d
 
 ALIGN = 128  # chunk size of the Pallas blend stream (= blend_pallas.CHUNK)
 GROUP = 8  # tiles per blend-kernel output block (shared VMEM residency)
@@ -89,7 +90,7 @@ def bin_gaussians(
     order = jnp.argsort(depth_key)  # stable ascending
 
     nt_sorted = proj.num_tiles_hit[order]  # (N,)
-    cum = jnp.cumsum(nt_sorted) - nt_sorted  # exclusive cumsum
+    cum = cumsum1d(nt_sorted) - nt_sorted  # exclusive cumsum (blocked scan)
     total = cum[-1] + nt_sorted[-1]
 
     # fused small-table row block, BIT-PACKED to 2 rows (halves the gather):
@@ -107,7 +108,7 @@ def bin_gaussians(
     ranks_at_start = jnp.zeros(capacity, jnp.int32).at[cum].max(
         jnp.arange(N, dtype=jnp.int32), mode="drop"
     )
-    rank = jax.lax.associative_scan(jnp.maximum, ranks_at_start)
+    rank = cummax1d(ranks_at_start)
     rank = jnp.clip(rank, 0, N - 1)
     valid = slots < jnp.minimum(total, capacity)
     g2 = gtab[:, rank]  # (2, capacity) — ONE fast small-table gather
@@ -155,8 +156,8 @@ def bin_gaussians(
     # tile id → mark at tile_start, cummax fill (collisions resolve to the
     # owning non-empty tile, which has the largest id and largest δ)
     delta = aligned_start - tile_start  # (T,)
-    delta_fill = jax.lax.associative_scan(
-        jnp.maximum, jnp.zeros(capacity, jnp.int32).at[tile_start].max(delta, mode="drop")
+    delta_fill = cummax1d(
+        jnp.zeros(capacity, jnp.int32).at[tile_start].max(delta, mode="drop")
     )
     fwdmap = slots + delta_fill  # aligned position of each tile-sorted slot
     sorted_valid = slots < jnp.minimum(total, capacity)
@@ -203,7 +204,7 @@ def bin_gaussians(
     nc = aligned_capacity // ALIGN
     cids = jnp.arange(nc, dtype=jnp.int32)
     marks = jnp.zeros(nc, jnp.int32).at[aligned_start // ALIGN].max(tids, mode="drop")
-    chunk_tile = jax.lax.associative_scan(jnp.maximum, marks)
+    chunk_tile = cummax1d(marks)
     chunk_base = cids * ALIGN - aligned_start[chunk_tile]  # small gathers (nc from T)
     chunk_cnt = tile_cnt[chunk_tile]
 

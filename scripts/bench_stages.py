@@ -24,15 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussctrl_exp_tpu.cameras import camera_matrices, look_at, make_camera
-from gaussctrl_exp_tpu.ops.binning import bin_gaussians
+from gaussctrl_exp_tpu.ops.binning import bin_gaussians, estimate_capacity
 from gaussctrl_exp_tpu.ops.blend_pallas import rasterize_tiles_pallas
-from gaussctrl_exp_tpu.ops.projection import project_gaussians
+from gaussctrl_exp_tpu.ops.projection import BLOCK, project_gaussians
 from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-CAP = 1 << 18
-TX = TY = (S + 15) // 16
+TX = TY = (S + BLOCK - 1) // BLOCK
 K_LO, K_HI = 5, 50
 
 rng = np.random.default_rng(0)
@@ -46,6 +45,12 @@ cam = make_camera(
 )
 vm, pm, fm = camera_matrices(cam)
 target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
+
+_p0 = jax.jit(
+    lambda m: project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S, opacities=opacs)
+)(means)
+CAP = estimate_capacity(_p0.num_tiles_hit, slack=1.08)
+print(f"tile={BLOCK} capacity bucket: {CAP} (isects {int(jax.device_get(jnp.sum(_p0.num_tiles_hit)))})", flush=True)
 
 
 def slope_time(stage_fn):
@@ -72,12 +77,12 @@ def slope_time(stage_fn):
 
 
 def stage_proj(m):
-    p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
+    p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S, opacities=opacs)
     return p.xys[:2, :2] + p.conics[:2, :2] + p.depths[:2, None]
 
 
 def stage_bins(m):
-    p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
+    p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S, opacities=opacs)
     b = bin_gaussians(p, TX, TY, CAP)
     # consume every output so nothing is DCE'd into a later stage
     return (
@@ -88,7 +93,7 @@ def stage_bins(m):
 
 
 def stage_fwd(m):
-    p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
+    p = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S, opacities=opacs)
     b = bin_gaussians(p, TX, TY, CAP)
     out = rasterize_tiles_pallas(p.xys, p.conics, colors, opacs, b, S, S)
     return out.img[:2, :2, 0] + out.final_T[:2, :2]
@@ -96,7 +101,7 @@ def stage_fwd(m):
 
 def stage_fwd_bwd(m):
     def loss_fn(mm):
-        p = project_gaussians(mm, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
+        p = project_gaussians(mm, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S, opacities=opacs)
         b = bin_gaussians(p, TX, TY, CAP)
         out = rasterize_tiles_pallas(p.xys, p.conics, colors, opacs, b, S, S)
         rgb = jnp.minimum(out.img[:, :, :3], 1.0)
