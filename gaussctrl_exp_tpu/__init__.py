@@ -18,3 +18,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _ensure_tpu_flags() -> None:
+    """Raise libtpu's scoped-VMEM ceiling (default 16 MiB; v5e has 128 MiB of
+    VMEM) so the blend backward kernel's vector stack fits without spilling to
+    HBM. Must run before the first JAX computation creates the TPU client —
+    importing this package before computing (the normal pattern) suffices.
+    Appends, never overwrites, so user-provided LIBTPU_INIT_ARGS survive."""
+    flag = "--xla_tpu_scoped_vmem_limit_kib"
+    cur = _os.environ.get("LIBTPU_INIT_ARGS", "")
+    if flag not in cur:
+        _os.environ["LIBTPU_INIT_ARGS"] = (cur + f" {flag}=65536").strip()
+
+
+_ensure_tpu_flags()

@@ -164,9 +164,9 @@ def bin_gaussians(
     real_key = jnp.where(sorted_valid, fwdmap, _HUGE1 + slots)
     real_rank = jnp.where(sorted_valid, sorted_rank, N)
 
-    # 128 potential pad entries per tile; the first (aligned_cnt − cnt) land
+    # ALIGN (32) potential pad entries per tile; the first (aligned_cnt − cnt) land
     # in the tail of the tile's last chunk, the rest sort past everything
-    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]  # (1, 128)
+    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]  # (1, ALIGN)
     padcnt = (aligned_cnt - tile_cnt)[:, None]  # (T, 1)
     pad_key = jnp.where(
         j < padcnt,

@@ -8,7 +8,7 @@ algebra shaped by measured v5e costs (sorts/scans/lane-gathers fast; scatters,
 row/column gathers and searchsorted slow):
 
   * binning (ops/binning.py) provides depth-sorted per-tile slot lists, a
-    *virtual* CHUNK-aligned layout (per-tile starts rounded to 128), per-chunk
+    *virtual* CHUNK-aligned layout (per-tile starts rounded to ALIGN=32 sub-chunks), per-chunk
     metadata, and the two FUSED gather index maps — so the kernels here do
     exactly one field-major lane gather into the aligned stream (fwd) and one
     back out of it (bwd), and no permutation algebra is recomputed;
@@ -338,14 +338,16 @@ def _bwd_kernel(
             sg_ref[3:4, so] = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
             sg_ref[4:5, so] = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
             sg_ref[5:6, so] = jnp.sum(dopac, axis=0, keepdims=True)
-            # color grads per sub-chunk: dC[c', j] = Σ_p g_img[p, c']·w[p, j]
-            for k in range(NSUB):
-                sl = slice(k * SUB, (k + 1) * SUB)
-                dcolT_k = jax.lax.dot_general(
-                    g_img_rows[k], w[:, sl], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (C, SUB)
-                sg_ref[6 : 6 + n_chan, pl.ds(c * CHUNK + k * SUB, SUB)] = dcolT_k  # dynamic c ok
+            # color grads: dC[c', j] = Σ_p g_img[p at lane j's tile, c']·w[p, j].
+            # Assemble the per-lane image-grad channel with _row_cols and reduce
+            # over pixels — every store below is a full-CHUNK row at the
+            # 128-aligned offset `so` (Mosaic rejects sub-chunk 32-lane stores).
+            for ci in range(n_chan):
+                gimg_c = _row_cols(
+                    lambda r_, ci=ci: gout_ref[0, pl.ds(r_ * P, P), ci : ci + 1],
+                    rows, lane_sub,
+                )
+                sg_ref[6 + ci : 7 + ci, so] = jnp.sum(gimg_c * w, axis=0, keepdims=True)
             sg_ref[6 + n_chan :, so] = jnp.zeros((NFIELD - 6 - n_chan, CHUNK), jnp.float32)
 
             for k in range(NSUB):
