@@ -171,8 +171,15 @@ def _read_weights(model_dir: Path) -> dict:
     return sd
 
 
-def load_sd_models(root: str | Path, controlnet_dir: str | Path | None = None):
-    """Load a local diffusers-layout SD + ControlNet directory into SDModels."""
+def load_sd_models(root: str | Path, controlnet_dir: str | Path | None = None,
+                   dtype=None):
+    """Load a local diffusers-layout SD + ControlNet directory into SDModels.
+
+    ``dtype`` is the compute dtype of the denoise stack; default bfloat16 —
+    the TPU-native counterpart of the reference's fp16 deployment
+    (ad_pipeline.py:101-108). Params stay f32; matmuls/convs run bf16 on the
+    MXU with fp32 softmax guards in every attention. Pass jnp.float32 to
+    force full precision."""
     import jax.numpy as jnp
 
     from .controlnet import ControlNet
@@ -180,6 +187,7 @@ def load_sd_models(root: str | Path, controlnet_dir: str | Path | None = None):
     from .unet import UNet2DCondition
     from .vae import AutoencoderKL
 
+    dtype = jnp.bfloat16 if dtype is None else dtype
     root = Path(root)
     unet_params = convert_state_dict(_read_weights(root / "unet"), translate_unet_key, strict=True)
     vae_params = convert_state_dict(_read_weights(root / "vae"), translate_vae_key, strict=True)
@@ -187,9 +195,9 @@ def load_sd_models(root: str | Path, controlnet_dir: str | Path | None = None):
     cn_params = convert_state_dict(_read_weights(cn_dir), translate_unet_key, strict=True)
 
     models = SDModels(
-        unet=UNet2DCondition(),
-        controlnet=ControlNet(),
-        vae=AutoencoderKL(),
+        unet=UNet2DCondition(dtype=dtype),
+        controlnet=ControlNet(dtype=dtype),
+        vae=AutoencoderKL(dtype=dtype),
         unet_params=unet_params,
         controlnet_params=cn_params,
         vae_params=vae_params,

@@ -86,7 +86,7 @@ def epipolar_attention(
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("hsd,hsnd->hsn", q, kg) * scale
     logits = logits + jnp.log(jnp.maximum(nbr_w, 1e-12))[None]
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("hsn,hsnd->hsd", probs, vg)
 
 

@@ -45,7 +45,8 @@ class VaeAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        probs = jax.nn.softmax(q @ k.transpose(0, 2, 1) * (C**-0.5), axis=-1)
+        logits = (q @ k.transpose(0, 2, 1) * (C**-0.5)).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)  # fp32 softmax under bf16
         h = nn.Dense(C, dtype=self.dtype, name="to_out_0")(probs @ v)
         return x + h.reshape(B, H, W, C)
 

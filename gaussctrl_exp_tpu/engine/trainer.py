@@ -177,6 +177,14 @@ def make_train_step(cfg: TrainConfig, optimizer=None, lpips=None):
             cam_opt_state=new_cam_opt,
         )
         metrics = dict(metrics)
+        # per-parameter-group gradient norms — the reference's "Gradients/"
+        # scalar family (gc_trainer.py:283-292), one norm per optimizer group
+        total_sq = 0.0
+        for name, leaf in pgrads._asdict().items():
+            sq = jnp.sum(leaf * leaf)
+            metrics[f"Gradients/{name}"] = jnp.sqrt(sq)
+            total_sq = total_sq + sq
+        metrics["Gradients/Total"] = jnp.sqrt(total_sq)
         metrics["n_isects"] = out.render.bins.n_isects
         return new_state, metrics
 
@@ -278,6 +286,15 @@ class Trainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = self.step
                 m["n_alive"] = int(jax.device_get(jnp.sum(self.state.alive)))
+                # device-memory scalar (reference: GPU Memory (MB),
+                # gc_trainer.py:212-223); TPU/GPU backends expose
+                # memory_stats, CPU returns None — skip there
+                try:
+                    stats = jax.local_devices()[0].memory_stats()
+                    if stats and "bytes_in_use" in stats:
+                        m["Device Memory (MB)"] = round(stats["bytes_in_use"] / 2**20, 1)
+                except Exception:
+                    pass
                 self.history.append(m)
                 if callback:
                     callback(m)

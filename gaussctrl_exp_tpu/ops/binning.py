@@ -52,9 +52,9 @@ import jax.numpy as jnp
 from .projection import ProjectedGaussians
 from .scan2d import cummax1d, cumsum1d
 
-ALIGN = 32  # sub-chunk alignment of per-tile segments in the blend stream
-GROUP = 32  # tiles per blend-kernel output block (shared VMEM residency)
-STEP_SUBS = 16  # 32-slot sub-chunks per blend grid step (= SUPER*CHUNK/ALIGN)
+ALIGN = 128  # chunk size of the Pallas blend stream (= blend_pallas.CHUNK)
+GROUP = 8  # tiles per blend-kernel output block (shared VMEM residency)
+SUPER = 4  # chunks per blend-kernel grid step (DMA/step-overhead amortization)
 _HUGE1 = 1 << 26  # sort-to-end key for invalid real slots
 _HUGE2 = 1 << 27  # sort-to-end key for unused pad entries
 
@@ -66,9 +66,9 @@ class TileBins(NamedTuple):
     sorted_rank: jnp.ndarray  # (capacity,) rank per tile-sorted slot
     tile_start: jnp.ndarray  # (T,) first tile-sorted slot of each tile
     tile_cnt: jnp.ndarray  # (T,) number of isects of each tile
-    sub_tile: jnp.ndarray  # (ns,) owning tile of each 32-slot sub-chunk
-    sub_base: jnp.ndarray  # (ns,) within-tile slot offset of each sub-chunk
-    sub_cnt: jnp.ndarray  # (ns,) owning tile's isect count
+    chunk_tile: jnp.ndarray  # (nc,) owning tile of each ALIGN-chunk
+    chunk_base: jnp.ndarray  # (nc,) within-tile slot offset of each chunk
+    chunk_cnt: jnp.ndarray  # (nc,) owning tile's isect count
     aligned_rank: jnp.ndarray  # (aligned_capacity,) rank per aligned slot (N = pad)
     n_isects: jnp.ndarray  # () total intersections actually generated
     capacity: int
@@ -145,7 +145,7 @@ def bin_gaussians(
     tpad = n_groups * GROUP - num_tiles
     gch = jnp.pad(chunks_t, (0, tpad)).reshape(n_groups, GROUP)
     group_chunks = gch.sum(axis=1)  # (n_groups,)
-    group_padded = ((group_chunks + STEP_SUBS - 1) // STEP_SUBS) * STEP_SUBS
+    group_padded = ((group_chunks + SUPER - 1) // SUPER) * SUPER
     group_start = jnp.cumsum(group_padded) - group_padded  # in chunks
     within = jnp.cumsum(gch, axis=1) - gch  # per-tile offset inside group
     aligned_start = (
@@ -164,26 +164,26 @@ def bin_gaussians(
     real_key = jnp.where(sorted_valid, fwdmap, _HUGE1 + slots)
     real_rank = jnp.where(sorted_valid, sorted_rank, N)
 
-    # ALIGN (32) potential pad entries per tile; the first (aligned_cnt − cnt) land
+    # 128 potential pad entries per tile; the first (aligned_cnt − cnt) land
     # in the tail of the tile's last chunk, the rest sort past everything
-    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]  # (1, ALIGN)
+    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]  # (1, 128)
     padcnt = (aligned_cnt - tile_cnt)[:, None]  # (T, 1)
     pad_key = jnp.where(
         j < padcnt,
         (aligned_start + tile_cnt)[:, None] + j,
         _HUGE2 + tids[:, None] * ALIGN + j,
     ).reshape(-1)
-    # STEP_SUBS·32 potential pad entries per GROUP; the first
-    # (group_padded − group_chunks)·32 fill the group's whole-sub-chunk pads,
+    # SUPER·128 potential pad entries per GROUP; the first
+    # (group_padded − group_chunks)·128 fill the group's whole-chunk pads,
     # the rest sort past everything (the extra width also guarantees enough
     # entries to fill the rounded-up static aligned_capacity)
-    jg = jnp.arange(STEP_SUBS * ALIGN, dtype=jnp.int32)[None, :]
+    jg = jnp.arange(SUPER * ALIGN, dtype=jnp.int32)[None, :]
     gpadcnt = ((group_padded - group_chunks) * ALIGN)[:, None]  # (n_groups, 1)
     gids = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
     gpad_key = jnp.where(
         jg < gpadcnt,
         ((group_start + group_chunks) * ALIGN)[:, None] + jg,
-        _HUGE2 + (num_tiles + gids) * (STEP_SUBS * ALIGN) + jg,
+        _HUGE2 + (num_tiles + gids) * (SUPER * ALIGN) + jg,
     ).reshape(-1)
     all_keys = jnp.concatenate([real_key, pad_key, gpad_key])
     all_ranks = jnp.concatenate(
@@ -200,13 +200,13 @@ def bin_gaussians(
     )
     aligned_rank = aligned_rank[:aligned_capacity]  # rank per aligned slot, N = pad
 
-    # 6. per-sub-chunk metadata (tile, base offset, count)
+    # 6. per-chunk metadata (tile, base offset, count)
     nc = aligned_capacity // ALIGN
     cids = jnp.arange(nc, dtype=jnp.int32)
     marks = jnp.zeros(nc, jnp.int32).at[aligned_start // ALIGN].max(tids, mode="drop")
-    sub_tile = cummax1d(marks)
-    sub_base = cids * ALIGN - aligned_start[sub_tile]  # small gathers (nc from T)
-    sub_cnt = tile_cnt[sub_tile]
+    chunk_tile = cummax1d(marks)
+    chunk_base = cids * ALIGN - aligned_start[chunk_tile]  # small gathers (nc from T)
+    chunk_cnt = tile_cnt[chunk_tile]
 
     return TileBins(
         order=order,
@@ -215,9 +215,9 @@ def bin_gaussians(
         sorted_rank=sorted_rank,
         tile_start=tile_start,
         tile_cnt=tile_cnt,
-        sub_tile=sub_tile,
-        sub_base=sub_base,
-        sub_cnt=sub_cnt,
+        chunk_tile=chunk_tile,
+        chunk_base=chunk_base,
+        chunk_cnt=chunk_cnt,
         aligned_rank=aligned_rank,
         n_isects=total,
         capacity=capacity,
@@ -227,8 +227,8 @@ def bin_gaussians(
 
 def _aligned_capacity(capacity: int, num_tiles: int) -> int:
     n_groups = (num_tiles + GROUP - 1) // GROUP
-    cap = capacity + num_tiles * ALIGN + n_groups * (STEP_SUBS - 1) * ALIGN
-    q = STEP_SUBS * ALIGN
+    cap = capacity + num_tiles * ALIGN + n_groups * (SUPER - 1) * ALIGN
+    q = SUPER * ALIGN
     return (cap + q - 1) // q * q
 
 

@@ -8,7 +8,7 @@ algebra shaped by measured v5e costs (sorts/scans/lane-gathers fast; scatters,
 row/column gathers and searchsorted slow):
 
   * binning (ops/binning.py) provides depth-sorted per-tile slot lists, a
-    *virtual* CHUNK-aligned layout (per-tile starts rounded to ALIGN=32 sub-chunks), per-chunk
+    *virtual* CHUNK-aligned layout (per-tile starts rounded to 128), per-chunk
     metadata, and the two FUSED gather index maps — so the kernels here do
     exactly one field-major lane gather into the aligned stream (fwd) and one
     back out of it (bwd), and no permutation algebra is recomputed;
@@ -51,14 +51,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import ALIGN as SUB, GROUP, STEP_SUBS, TileBins
+from .binning import GROUP, SUPER, TileBins
 from .scan2d import cumsum_rows
 from .blend import ALPHA_CLAMP, MIN_ALPHA, T_EPS, BlendOutputs
 from .projection import BLOCK
 
-CHUNK = 128  # gaussians per chunk (MXU-aligned DMA/matmul granularity)
-NSUB = CHUNK // SUB  # 32-slot sub-chunks (each owned by ONE tile) per chunk
-SUPER = (STEP_SUBS * SUB) // CHUNK  # chunks per grid step
+CHUNK = 128  # gaussians per chunk (MXU-aligned; == binning.ALIGN)
 NFIELD = 16  # packed field rows: x y ca cb cc opac c0..c3 (+pad)
 P = BLOCK * BLOCK  # 256 pixels per tile
 GP = GROUP * P  # pixels per output block (GROUP tiles resident together)
@@ -80,65 +78,31 @@ def _pack_fields(xys, conics, colors, opacs) -> jnp.ndarray:
     return jnp.pad(data, ((0, NFIELD - data.shape[0]), (0, 0)))
 
 
-def _lane_iota():
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    return lane // SUB, jax.lax.rem(lane, SUB)  # sub-chunk id / slot-in-sub per lane
-
-
-def _lanesel(vals, lane_sub):
-    """NSUB scalars → (1, CHUNK) int32 with value vals[k] on sub-chunk k's lanes."""
-    v = jnp.zeros((1, CHUNK), jnp.int32)
-    for k, val in enumerate(vals):
-        v = jnp.where(lane_sub == k, val, v)
-    return v
-
-
-def _lane_pixel_coords(ts, tiles_x, lane_sub):
-    """Per-lane pixel coords: lane j covers sub-chunk j//SUB whose tile is ts[k];
-    (P, CHUNK) px/py = within-tile pixel position + that tile's origin."""
-    tx = _lanesel([jax.lax.rem(t, tiles_x) for t in ts], lane_sub).astype(jnp.float32)
-    ty = _lanesel([t // tiles_x for t in ts], lane_sub).astype(jnp.float32)
+def _pixel_coords(t, tiles_x):
+    """Tile id scalar → (P, 1) f32 pixel x/y coordinate columns."""
+    ty = (t // tiles_x).astype(jnp.float32)
+    tx = jax.lax.rem(t, tiles_x).astype(jnp.float32)
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     py = (pix // BLOCK).astype(jnp.float32) + ty * BLOCK
     px = jax.lax.rem(pix, BLOCK).astype(jnp.float32) + tx * BLOCK
     return px, py
 
 
-def _masked_triu(ts):
-    """(strict, inclusive) triangular masks restricted to same-tile lane pairs.
-
-    M[j', j] = (j' < j) · [tile(j') == tile(j)] — the transmittance matmul
-    then accumulates log-opacity only over earlier gaussians of the SAME tile,
-    which makes a 128-chunk spanning up to NSUB tile segments exact: lanes of
-    other tiles contribute nothing, and multiple sub-chunks of one tile chain
-    within the chunk automatically."""
+def _triu_strict():
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    tr = jnp.zeros((CHUNK, CHUNK), jnp.int32)
-    tc = jnp.zeros((CHUNK, CHUNK), jnp.int32)
-    for k, t in enumerate(ts):
-        tr = jnp.where(r // SUB == k, t, tr)
-        tc = jnp.where(c // SUB == k, t, tc)
-    same = (tr == tc).astype(jnp.float32)
-    return (r < c).astype(jnp.float32) * same, (r <= c).astype(jnp.float32) * same
+    return (r < c).astype(jnp.float32)
 
 
-def _row_cols(read_fn, rows, lane_sub):
-    """Assemble (P, CHUNK) from per-tile-row (P, 1) columns, selected per lane."""
-    out = jnp.zeros((P, CHUNK), jnp.float32)
-    for k, row in enumerate(rows):
-        out = jnp.where(lane_sub == k, read_fn(row), out)
-    return out
-
-
-def _chunk_alphas(g, px, py, slot, cnt):
-    """Alpha computation for one (NFIELD, CHUNK) chunk against its pixels."""
+def _chunk_alphas(g, px, py, base, cnt):
+    """Alpha computation for one (NFIELD, CHUNK) chunk against 256 pixels."""
     gx, gy = g[0:1, :], g[1:2, :]
     ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
     op = g[5:6, :]
     dx = gx - px  # (P, CHUNK)
     dy = gy - py
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + base
     valid = slot < cnt
     vis = jnp.exp(-sigma)
     alpha = jnp.minimum(ALPHA_CLAMP, op * vis)
@@ -149,24 +113,21 @@ def _chunk_alphas(g, px, py, slot, cnt):
     return aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis
 
 
-def _fwd_kernel(sub_tile, sub_base, sub_cnt, g_ref, out_ref, done_s, *, tiles_x, n_chan):
-    """One grid step (SUPER chunks, each spanning NSUB 32-slot sub-chunks)
-    against its GROUP's resident pixel rows.
+def _fwd_kernel(chunk_tile, chunk_base, chunk_cnt, g_ref, out_ref, done_s, *, tiles_x, n_chan):
+    """One SUPER-step (SUPER chunks) against its GROUP's 8×256 pixels.
 
     out block (1, GP, 16): GROUP tile rows of 256 pixels; per tile row,
     cols [0:n_chan) composited image, col 7 final_T, col 8 done flag.
-    Revisited by consecutive steps of the same group (binning pads each
-    group's sub-chunk count to STEP_SUBS, so a step never crosses a group).
-    A 128-chunk may span up to NSUB different tiles: the heavy VPU math and
-    the transmittance matmul run dense over (P, CHUNK) with per-lane pixel
-    coordinates and a same-tile triangular mask (_masked_triu); only the
-    narrow carry updates (T, done) touch per-tile rows. Padding sub-chunks
-    (base ≥ cnt) and fully-done tiles cost nothing beyond their block DMA.
+    Revisited by consecutive supersteps of the same group (binning pads each
+    group's chunk count to a multiple of SUPER, so a step never crosses a
+    group). Group-first detection = the previous superstep's tile belongs to
+    a different group. Padding chunks (base ≥ cnt) and fully-done tiles skip
+    compute; per-tile all-pixels-done flags live in SMEM (done_s, (GROUP,)).
     """
     s = pl.program_id(0)
-    i0 = s * SUPER * NSUB
-    g0 = sub_tile[i0] // GROUP
-    prev_g = sub_tile[jnp.maximum(i0 - SUPER * NSUB, 0)] // GROUP
+    c0 = s * SUPER
+    g0 = chunk_tile[c0] // GROUP
+    prev_g = chunk_tile[jnp.maximum(c0 - SUPER, 0)] // GROUP
 
     @pl.when((s == 0) | (prev_g != g0))
     def _():
@@ -175,67 +136,47 @@ def _fwd_kernel(sub_tile, sub_base, sub_cnt, g_ref, out_ref, done_s, *, tiles_x,
         for r in range(GROUP):
             done_s[r] = 0
 
-    lane_sub, lane_in = _lane_iota()
+    for sub in range(SUPER):
+        c = c0 + sub
+        t = chunk_tile[c]
+        base = chunk_base[c]
+        cnt = chunk_cnt[c]
+        row = t - g0 * GROUP
 
-    def chunk_body(c, _):
-        idx = [i0 + c * NSUB + k for k in range(NSUB)]
-        ts = [sub_tile[i] for i in idx]
-        bases = [sub_base[i] for i in idx]
-        cnts = [sub_cnt[i] for i in idx]
-        rows = [t - g0 * GROUP for t in ts]
-        act = [(bases[k] < cnts[k]) & (done_s[rows[k]] == 0) for k in range(NSUB)]
-        work = functools.reduce(lambda a, b: a | b, act)
+        @pl.when((base < cnt) & (done_s[row] == 0))
+        def _(sub=sub, t=t, base=base, cnt=cnt, row=row):
+            px, py = _pixel_coords(t, tiles_x)
+            g = g_ref[:, sub * CHUNK : (sub + 1) * CHUNK]  # (NFIELD, CHUNK)
+            aeff, one_minus, L, *_ = _chunk_alphas(g, px, py, base, cnt)
 
-        @pl.when(work)
-        def _(ts=ts, bases=bases, cnts=cnts, rows=rows):
-            px, py = _lane_pixel_coords(ts, tiles_x, lane_sub)
-            slot = lane_in + _lanesel(bases, lane_sub)
-            cnt_lane = _lanesel(cnts, lane_sub)
-            g = g_ref[:, pl.ds(c * CHUNK, CHUNK)]  # (NFIELD, CHUNK)
-            aeff, one_minus, L, *_ = _chunk_alphas(g, px, py, slot, cnt_lane)
+            ro = pl.ds(row * P, P)
+            T_carry = out_ref[0, ro, 7:8]
+            done = out_ref[0, ro, 8:9] > 0.0
 
-            T_carry = _row_cols(lambda r_: out_ref[0, pl.ds(r_ * P, P), 7:8], rows, lane_sub)
-            done_l = _row_cols(lambda r_: out_ref[0, pl.ds(r_ * P, P), 8:9], rows, lane_sub) > 0.0
-
-            M_excl, _ = _masked_triu(ts)
-            cum_excl = jnp.dot(L, M_excl, preferred_element_type=jnp.float32)
+            cum_excl = jnp.dot(L, _triu_strict(), preferred_element_type=jnp.float32)
             T_excl = T_carry * jnp.exp(cum_excl)  # (P, CHUNK)
             T_after = T_excl * one_minus
-            comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done_l)
+            comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
             w = jnp.where(comp, aeff * T_excl, 0.0)
+
             colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+            contrib = jax.lax.dot_general(
+                w, colors, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (P, C)
+            out_ref[0, ro, 0:n_chan] = out_ref[0, ro, 0:n_chan] + contrib
 
-            for k in range(NSUB):
-                sl = slice(k * SUB, (k + 1) * SUB)
-                ro = pl.ds(rows[k] * P, P)
-                contrib = jax.lax.dot_general(
-                    w[:, sl], colors[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (P, C)
-                out_ref[0, ro, 0:n_chan] = out_ref[0, ro, 0:n_chan] + contrib
-                T_new = jnp.minimum(
-                    out_ref[0, ro, 7:8],
-                    jnp.min(jnp.where(comp[:, sl], T_after[:, sl], 1e30),
-                            axis=1, keepdims=True),
-                )
-                broke = jnp.min(
-                    jnp.where(aeff[:, sl] > 0.0, T_after[:, sl], 1.0),
-                    axis=1, keepdims=True,
-                ) <= T_EPS
-                done_new = jnp.where((out_ref[0, ro, 8:9] > 0.0) | broke, 1.0, 0.0)
-                out_ref[0, ro, 7:8] = T_new
-                out_ref[0, ro, 8:9] = done_new
-                done_s[rows[k]] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
-
-        return None
-
-    jax.lax.fori_loop(0, SUPER, chunk_body, None)
+            T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
+            broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
+            done_new = jnp.where(done | broke, 1.0, 0.0)
+            out_ref[0, ro, 7:8] = T_new
+            out_ref[0, ro, 8:9] = done_new
+            done_s[row] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
 def _bwd_kernel(
-    sub_tile,
-    sub_base,
-    sub_cnt,
+    chunk_tile,
+    chunk_base,
+    chunk_cnt,
     g_ref,
     res_ref,
     gout_ref,
@@ -246,20 +187,18 @@ def _bwd_kernel(
     tiles_x,
     n_chan,
 ):
-    """Backward sweep over the same sub-chunk stream: per-slot gradients.
+    """Backward sweep over the same superstep stream: per-slot gradients.
 
     res_ref/gout_ref: (1, GP, 16) forward residual / cotangent blocks of this
-    step's GROUP. sg_ref: (NFIELD, SUPER·CHUNK) output block — every step
-    writes its own block (no gaps, no races). state: (GP, 8) VMEM scratch
-    persisting across grid steps, one (P, 8) band per tile row: col 0 T_carry,
-    col 1 done, col 2 prefix_u. Chunk math is dense (P, CHUNK) with per-lane
-    image rows (assembled via _row_cols) and same-tile masked triangular
-    matmuls; suffix_u = img·g − prefix_u as in the single-sweep derivation.
+    superstep's GROUP. sg_ref: (NFIELD, SUPER·CHUNK) output block — every
+    superstep writes its own block (no gaps, no races). state: (GP, 8) VMEM
+    scratch persisting across grid steps, one (P, 8) band per tile row:
+    col 0 T_carry, col 1 done, col 2 prefix_u.
     """
     s = pl.program_id(0)
-    i0 = s * SUPER * NSUB
-    g0 = sub_tile[i0] // GROUP
-    prev_g = sub_tile[jnp.maximum(i0 - SUPER * NSUB, 0)] // GROUP
+    c0 = s * SUPER
+    g0 = chunk_tile[c0] // GROUP
+    prev_g = chunk_tile[jnp.maximum(c0 - SUPER, 0)] // GROUP
 
     @pl.when((s == 0) | (prev_g != g0))
     def _():
@@ -268,69 +207,64 @@ def _bwd_kernel(
         for r in range(GROUP):
             done_s[r] = 0
 
-    lane_sub, lane_in = _lane_iota()
-
-    def chunk_body(c, _unused):
-        idx = [i0 + c * NSUB + k for k in range(NSUB)]
-        ts = [sub_tile[i] for i in idx]
-        bases = [sub_base[i] for i in idx]
-        cnts = [sub_cnt[i] for i in idx]
-        rows = [t - g0 * GROUP for t in ts]
-        act = [(bases[k] < cnts[k]) & (done_s[rows[k]] == 0) for k in range(NSUB)]
-        work = functools.reduce(lambda a, b: a | b, act)
-        so = pl.ds(c * CHUNK, CHUNK)
+    for sub in range(SUPER):
+        c = c0 + sub
+        t = chunk_tile[c]
+        base = chunk_base[c]
+        cnt = chunk_cnt[c]
+        row = t - g0 * GROUP
+        work = (base < cnt) & (done_s[row] == 0)
+        so = pl.ds(sub * CHUNK, CHUNK)
 
         @pl.when(jnp.logical_not(work))
         def _(so=so):
             sg_ref[:, so] = jnp.zeros((NFIELD, CHUNK), jnp.float32)
 
         @pl.when(work)
-        def _(ts=ts, bases=bases, cnts=cnts, rows=rows, so=so):
-            px, py = _lane_pixel_coords(ts, tiles_x, lane_sub)
-            slot = lane_in + _lanesel(bases, lane_sub)
-            cnt_lane = _lanesel(cnts, lane_sub)
+        def _(sub=sub, t=t, base=base, cnt=cnt, row=row, so=so):
+            px, py = _pixel_coords(t, tiles_x)
+            tri = _triu_strict()
             g = g_ref[:, so]
-            aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis = _chunk_alphas(
-                g, px, py, slot, cnt_lane
-            )
-            colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+            aeff, one_minus, L, dx, dy, ca, cb, cc, op, vis = _chunk_alphas(g, px, py, base, cnt)
 
-            T_carry = _row_cols(lambda r_: state[pl.ds(r_ * P, P), 0:1], rows, lane_sub)
-            done_l = _row_cols(lambda r_: state[pl.ds(r_ * P, P), 1:2], rows, lane_sub) > 0.0
-            prefix_u_l = _row_cols(lambda r_: state[pl.ds(r_ * P, P), 2:3], rows, lane_sub)
+            ro = pl.ds(row * P, P)
+            res = res_ref[0, ro, :]  # (P, 16)
+            img = res[:, :n_chan]
+            T_final = res[:, 7:8]
+            gout = gout_ref[0, ro, :]
+            g_img = gout[:, :n_chan]
+            g_T = gout[:, 7:8]
+            img_dot_g = jnp.sum(img * g_img, axis=1, keepdims=True)  # (P, 1)
+            gT_Tfinal = g_T * T_final
 
-            # per-lane image rows: cg via NSUB small matmuls + lane select;
-            # img·g and g_T·T_final as (P, 1) columns lane-selected likewise
-            g_img_rows = [gout_ref[0, pl.ds(rows[k] * P, P), 0:n_chan] for k in range(NSUB)]
-            cg = jnp.zeros((P, CHUNK), jnp.float32)
-            img_dot_g = jnp.zeros((P, CHUNK), jnp.float32)
-            gTf = jnp.zeros((P, CHUNK), jnp.float32)
-            for k in range(NSUB):
-                ro = pl.ds(rows[k] * P, P)
-                m = lane_sub == k
-                cg_k = jnp.dot(g_img_rows[k], colors, preferred_element_type=jnp.float32)
-                cg = jnp.where(m, cg_k, cg)
-                idg_k = jnp.sum(res_ref[0, ro, 0:n_chan] * g_img_rows[k], axis=1, keepdims=True)
-                img_dot_g = jnp.where(m, idg_k, img_dot_g)
-                gTf_k = gout_ref[0, ro, 7:8] * res_ref[0, ro, 7:8]
-                gTf = jnp.where(m, gTf_k, gTf)
+            T_carry = state[ro, 0:1]
+            done = state[ro, 1:2] > 0.0
+            prefix_u = state[ro, 2:3]
 
-            M_excl, M_incl = _masked_triu(ts)
-            cum_excl = jnp.dot(L, M_excl, preferred_element_type=jnp.float32)
+            cum_excl = jnp.dot(L, tri, preferred_element_type=jnp.float32)
             T_excl = T_carry * jnp.exp(cum_excl)
             T_after = T_excl * one_minus
-            comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done_l)
+            comp = (T_after > T_EPS) & (aeff > 0.0) & jnp.logical_not(done)
             compf = comp.astype(jnp.float32)
             w = aeff * T_excl * compf
+
+            colors = g[6 : 6 + n_chan, :]  # (C, CHUNK)
+            cg = jnp.dot(g_img, colors, preferred_element_type=jnp.float32)  # (P, CHUNK)
             u = w * cg
-            prefix_incl = prefix_u_l + jnp.dot(u, M_incl, preferred_element_type=jnp.float32)
+            tri_incl = tri + jnp.eye(CHUNK, dtype=jnp.float32)
+            prefix_incl = prefix_u + jnp.dot(u, tri_incl, preferred_element_type=jnp.float32)
             suffix = img_dot_g - prefix_incl  # Σ_{k>j} u_k (within + later chunks)
 
-            dalpha = compf * (T_excl * cg - (suffix + gTf) / one_minus)
+            dalpha = compf * (T_excl * cg - (suffix + gT_Tfinal) / one_minus)
             dsigma = -(op * vis) * dalpha  # gsplat: no gating on the 0.999 clamp
             dopac = vis * dalpha
+
             gdx = dsigma * (ca * dx + cb * dy)
             gdy = dsigma * (cb * dx + cc * dy)
+            # color grads transposed: dC[c', k] = Σ_p g_img[p,c']·w[p,k]  (C, CHUNK)
+            dcolT = jax.lax.dot_general(
+                g_img, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
             sg_ref[0:1, so] = jnp.sum(gdx, axis=0, keepdims=True)
             sg_ref[1:2, so] = jnp.sum(gdy, axis=0, keepdims=True)
@@ -338,39 +272,16 @@ def _bwd_kernel(
             sg_ref[3:4, so] = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
             sg_ref[4:5, so] = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
             sg_ref[5:6, so] = jnp.sum(dopac, axis=0, keepdims=True)
-            # color grads: dC[c', j] = Σ_p g_img[p at lane j's tile, c']·w[p, j].
-            # Assemble the per-lane image-grad channel with _row_cols and reduce
-            # over pixels — every store below is a full-CHUNK row at the
-            # 128-aligned offset `so` (Mosaic rejects sub-chunk 32-lane stores).
-            for ci in range(n_chan):
-                gimg_c = _row_cols(
-                    lambda r_, ci=ci: gout_ref[0, pl.ds(r_ * P, P), ci : ci + 1],
-                    rows, lane_sub,
-                )
-                sg_ref[6 + ci : 7 + ci, so] = jnp.sum(gimg_c * w, axis=0, keepdims=True)
+            sg_ref[6 : 6 + n_chan, so] = dcolT
             sg_ref[6 + n_chan :, so] = jnp.zeros((NFIELD - 6 - n_chan, CHUNK), jnp.float32)
 
-            for k in range(NSUB):
-                sl = slice(k * SUB, (k + 1) * SUB)
-                ro = pl.ds(rows[k] * P, P)
-                T_new = jnp.minimum(
-                    state[ro, 0:1],
-                    jnp.min(jnp.where(comp[:, sl], T_after[:, sl], 1e30),
-                            axis=1, keepdims=True),
-                )
-                broke = jnp.min(
-                    jnp.where(aeff[:, sl] > 0.0, T_after[:, sl], 1.0),
-                    axis=1, keepdims=True,
-                ) <= T_EPS
-                done_new = jnp.where((state[ro, 1:2] > 0.0) | broke, 1.0, 0.0)
-                state[ro, 0:1] = T_new
-                state[ro, 1:2] = done_new
-                state[ro, 2:3] = state[ro, 2:3] + jnp.sum(u[:, sl], axis=1, keepdims=True)
-                done_s[rows[k]] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
-
-        return None
-
-    jax.lax.fori_loop(0, SUPER, chunk_body, None)
+            T_new = jnp.min(jnp.where(comp, T_after, T_carry), axis=1, keepdims=True)
+            broke = jnp.min(jnp.where(aeff > 0.0, T_after, 1.0), axis=1, keepdims=True) <= T_EPS
+            done_new = jnp.where(done | broke, 1.0, 0.0)
+            state[ro, 0:1] = T_new
+            state[ro, 1:2] = done_new
+            state[ro, 2:3] = prefix_u + jnp.sum(u, axis=1, keepdims=True)
+            done_s[row] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
 def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
@@ -415,9 +326,9 @@ def _bins_tuple(bins: TileBins):
         bins.cum,
         bins.nt_sorted,
         bins.tile_cnt,
-        bins.sub_tile,
-        bins.sub_base,
-        bins.sub_cnt,
+        bins.chunk_tile,
+        bins.chunk_base,
+        bins.chunk_cnt,
         bins.aligned_rank,
     )
 
@@ -449,13 +360,13 @@ def _blend_core(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned
 
 
 def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned_capacity, interpret):
-    order, cum, nt_sorted, tile_cnt, sub_tile, sub_base, sub_cnt, aligned_rank = bins_arrays
+    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
     n_groups = (num_tiles + GROUP - 1) // GROUP
     n_chan = colors.shape[1]
-    ns = aligned_capacity // (SUPER * CHUNK)  # grid steps
+    ns = aligned_capacity // (SUPER * CHUNK)  # supersteps
 
     # rank-major fields with one extra zero column at index N: aligned_rank
     # uses rank N as the pad sentinel, so pads gather zeros (then the kernel's
@@ -473,7 +384,7 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER * NSUB] // GROUP, 0, 0),
+            (1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.SMEM((GROUP,), jnp.int32)],
@@ -483,7 +394,7 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
         out_shape=jax.ShapeDtypeStruct((n_groups, GP, 16), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(sub_tile, sub_base, sub_cnt, vals)
+    )(chunk_tile, chunk_base, chunk_cnt, vals)
 
     img, finalT = _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt)
     return (img, finalT), (vals, out_groups)
@@ -498,7 +409,7 @@ def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
 def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     vals, out_groups, bins_arrays, N = res
-    order, cum, nt_sorted, tile_cnt, sub_tile, sub_base, sub_cnt, aligned_rank = bins_arrays
+    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     g_img, g_finalT = cots
     n_chan = g_img.shape[-1]
     tiles_x = (W + BLOCK - 1) // BLOCK
@@ -513,9 +424,9 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
         in_specs=[
             pl.BlockSpec((NFIELD, SUPER * CHUNK), lambda s, ct, cb, cc_: (0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER * NSUB] // GROUP, 0, 0),
+            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER * NSUB] // GROUP, 0, 0),
+            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -528,7 +439,7 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
         out_shape=jax.ShapeDtypeStruct((NFIELD, aligned_capacity), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(sub_tile, sub_base, sub_cnt, vals, out_groups, gout)
+    )(chunk_tile, chunk_base, chunk_cnt, vals, out_groups, gout)
 
     # ---- slot grads (aligned layout) → per-gaussian grads, scatter-free ----
     # Sort the stream by aligned_rank so real slots of rank g land contiguous

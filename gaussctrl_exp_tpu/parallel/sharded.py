@@ -62,7 +62,7 @@ class ShardedRenderConfig:
     width: int = 512
     isect_capacity_per_device: int = 1 << 16  # per tile-band
     sh_degree: int = 3
-    impl: str = "jnp"  # blend impl inside each band ("jnp" | "pallas")
+    impl: str = "auto"  # band blend impl: "jnp" | "pallas" | "auto" (pallas on TPU)
     pallas_interpret: bool = False  # interpret-mode pallas (CPU validation)
     max_per_tile: int = 512
     ssim_lambda: float = 0.2
@@ -95,7 +95,9 @@ def _band_blend(payload, band_idx, n_bands, cfg: ShardedRenderConfig):
     )
     bins = bin_gaussians(proj, tiles_x, tiles_y_band, cfg.isect_capacity_per_device)
     chan = jnp.concatenate([payload["colors"], payload["depths"][:, None]], axis=-1)
-    if cfg.impl == "pallas":
+    from ..ops.renderer import _resolve_impl
+
+    if _resolve_impl(cfg.impl) == "pallas":
         from ..ops.blend_pallas import rasterize_tiles_pallas
 
         out = rasterize_tiles_pallas(

@@ -25,7 +25,7 @@ from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-CAP = 1 << 18
+CAP = int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 18
 TX = TY = (S + 15) // 16
 K_LO, K_HI = 5, 50
 
@@ -127,8 +127,8 @@ def upto_tilesort(m):
 def upto_full_binning(m):
     b, p = _through_tilesort(m)
     return (
-        b.sorted_rank[:4] + b.aligned_rank[:4] + b.sub_tile[:4] + b.sub_base[:4]
-        + b.sub_cnt[:4] + b.tile_start[:4]
+        b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
+        + b.chunk_cnt[:4] + b.tile_start[:4]
     ).astype(jnp.float32)
 
 

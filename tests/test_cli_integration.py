@@ -82,6 +82,10 @@ def test_train_cli_end_to_end(mini_scene, tmp_path):
     events = (out / "logs" / "events.jsonl").read_text().strip().splitlines()
     assert any("eval_psnr" in e for e in events)
     assert any("main_loss" in e for e in events)
+    # per-parameter-group gradient norms (reference Gradients/ family,
+    # gc_trainer.py:283-292)
+    assert any("Gradients/means" in e for e in events)
+    assert any("Gradients/Total" in e for e in events)
     assert (out / "logs" / "config.json").exists()
 
 

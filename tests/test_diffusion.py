@@ -408,3 +408,41 @@ class TestEditPipeline:
         p3 = make_pipe()
         p3.render_reverse(gs, DM(), model_cfg, force_recompute=True)
         assert p3.n_inversions == V and p3.n_resumed == 0
+
+
+class TestBf16Parity:
+    """bf16 is the deployment compute dtype (load_sd_models default — the
+    TPU-native counterpart of the reference's fp16, ad_pipeline.py:101-108).
+    The bf16 UNet eps must track the f32 eps closely (fp32 softmax guards
+    keep attention well-conditioned; remaining error is bf16 rounding)."""
+
+    def test_unet_bf16_matches_f32(self):
+        f32 = init_random_models(jax.random.PRNGKey(3), latent=8, **TINY)
+        from gaussctrl_exp_tpu.diffusion.unet import UNet2DCondition
+
+        unet_bf16 = UNet2DCondition(
+            block_out=TINY["block_out"], heads=TINY["heads"],
+            cross_dim=TINY["cross_dim"], layers_per_block=TINY["layers_per_block"],
+            temb_dim=TINY["block_out"][-1], dtype=jnp.bfloat16,
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+        t = jnp.asarray([10, 500], jnp.int32)
+        ctx = jnp.asarray(rng.normal(size=(2, 77, TINY["cross_dim"])).astype(np.float32))
+        e32 = f32.unet.apply({"params": f32.unet_params}, x, t, ctx)
+        e16 = unet_bf16.apply({"params": f32.unet_params}, x, t, ctx)
+        assert e16.dtype == jnp.bfloat16
+        scale = float(jnp.std(e32)) + 1e-8
+        err = float(jnp.max(jnp.abs(e16.astype(jnp.float32) - e32))) / scale
+        assert err < 0.15, f"relative bf16 deviation {err}"
+
+    def test_vae_attention_softmax_f32_guard(self):
+        """The VAE mid-block attention must not overflow under bf16: logits
+        of magnitude ~90 saturate bf16 exp but are exact in the fp32 guard."""
+        from gaussctrl_exp_tpu.diffusion.vae import VaeAttention
+
+        blk = VaeAttention(dtype=jnp.bfloat16)
+        x = jnp.full((1, 4, 4, 32), 3.0, jnp.bfloat16)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        out = blk.apply({"params": params}, x)
+        assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

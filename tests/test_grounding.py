@@ -116,3 +116,79 @@ def test_langsam_composes_grounded_boxes():
     assert phrases[0] == "red"
     # provider grounded the right object even if random-weight SAM masks are noise
     assert boxes[0][0] < 32 and boxes[0][1] < 32
+
+
+def test_grounding_on_rendered_scene_iou():
+    """End-to-end: ground a color prompt on an image RENDERED by the real
+    renderer (not a synthetic blob grid) and assert box-on-object IoU.
+
+    Scene: red gaussian cluster left, blue cluster right, green floor band —
+    rendered at 128² through the full projection/binning/blend path. The
+    synthetic color-CLIP stands in for real weights (none in this env); the
+    geometric machinery under test (heat map → threshold → components →
+    box scaling) is exactly what real CLIP embeddings would drive.
+    Reference behavior anchor: lang_sam.py:84-121 (GroundingDINO boxes at
+    0.3/0.25 on the rendered dataset views)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussctrl_exp_tpu.cameras import look_at, make_camera
+    from gaussctrl_exp_tpu.ops import RenderConfig, render
+
+    H = W = 128
+    rng = np.random.default_rng(2)
+    n_blob, n_floor = 150, 100
+    means = np.concatenate([
+        rng.normal(size=(n_blob, 3)) * 0.25 + np.array([-0.9, 0.0, 0.35]),
+        rng.normal(size=(n_blob, 3)) * 0.25 + np.array([0.9, 0.0, 0.35]),
+        np.stack([rng.uniform(-2, 2, n_floor), rng.uniform(-2, 2, n_floor),
+                  np.full(n_floor, -0.6)], 1),
+    ]).astype(np.float32)
+    colors = np.concatenate([
+        np.tile([0.95, 0.05, 0.05], (n_blob, 1)),
+        np.tile([0.05, 0.05, 0.95], (n_blob, 1)),
+        np.tile([0.2, 0.6, 0.2], (n_floor, 1)),
+    ]).astype(np.float32)
+    n = means.shape[0]
+    scales = np.full((n, 3), 0.09, np.float32)
+    quats = np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)).astype(np.float32)
+    opacs = np.full(n, 0.9, np.float32)
+    cam = make_camera(look_at(np.array([0.0, -4.0, 1.2]), np.zeros(3)),
+                      W * 1.1, W * 1.1, W / 2, H / 2, W, H)
+    img = np.asarray(jax.device_get(render(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(colors), jnp.asarray(opacs), cam, jnp.zeros(3),
+        RenderConfig(impl="jnp", isect_capacity=1 << 13),
+    ).rgb))
+    assert img.max() > 0.5, "renderer produced a black frame"
+
+    ep, et = _color_patch_encoder(grid=16)
+    provider = ClipPatchBoxProvider(ep, et, rel_threshold=0.6, min_area=1)
+
+    def iou(box, mask):
+        x0, y0, x1, y1 = (int(round(v)) for v in box)
+        pred = np.zeros_like(mask)
+        pred[max(y0, 0):y1, max(x0, 0):x1] = True
+        inter = np.logical_and(pred, mask).sum()
+        union = np.logical_or(pred, mask).sum()
+        return inter / max(union, 1)
+
+    for prompt, channel in (("red", 0), ("blue", 2)):
+        boxes, phrases, scores = provider(img, prompt)
+        assert len(boxes) >= 1 and phrases[0] == prompt
+        # ground truth object mask from the rendered image itself: pixels
+        # where the prompted channel clearly dominates both others
+        others = [c for c in range(3) if c != channel]
+        gt = (
+            (img[..., channel] > 0.3)
+            & (img[..., channel] > img[..., others[0]] + 0.15)
+            & (img[..., channel] > img[..., others[1]] + 0.15)
+        )
+        assert gt.sum() > 50, f"{prompt}: ground-truth mask degenerate"
+        best = max(iou(b, gt) for b in boxes)
+        assert best >= 0.35, f"{prompt}: best IoU {best:.3f} below 0.35"
+        # and the top box must not sit on the OTHER blob
+        other_gt = (img[..., 2 - channel] > 0.3) & (
+            img[..., 2 - channel] > img[..., channel] + 0.15
+        )
+        assert iou(boxes[0], other_gt) < 0.1, f"{prompt}: box landed on wrong object"
