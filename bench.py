@@ -85,7 +85,48 @@ def load_scene_high_n(n: int = 300_000):
     )
 
 
-def bench_scene(scene, k_hi=K):
+def roofline_blend_ms(n_isects: int, aligned_capacity: int, num_tiles: int,
+                      n_chan: int = 4) -> dict:
+    """Analytic speed-of-light bound for the blend fwd+bwd Pallas kernels on
+    one v5e chip (BASELINE.md "within 1.2× roofline" target).
+
+    Streams/compute counted straight from ops/blend_pallas.py:
+      fwd: (NFIELD, aligned) field stream in; (GP,16) group blocks resident in
+           VMEM, written back once per group; per ACTIVE chunk one (P,C)×(C,C)
+           transmittance matmul (exp(L@U)) + ~55 VPU ops per (P·CHUNK) element.
+      bwd: field stream + residual/cotangent group blocks in, (NFIELD, aligned)
+           slot-grad stream out; two triangular matmuls + 2 small matmuls and
+           ~75 VPU ops per element per active chunk.
+    Active chunks ≈ n_isects/128 + num_tiles/2 (half-chunk padding waste).
+
+    v5e peaks assumed (public figures): HBM 819 GB/s; MXU 197 bf16 TFLOP/s,
+    f32 inputs ≈ 1/4 → 49 TFLOP/s; VPU 8×128 lanes × 4 ops × 0.94 GHz ≈
+    3.85 TFLOP/s (transcendentals counted as 8 ops in the op tallies). The
+    bound per pass is max(HBM, MXU, VPU) — resources overlap.
+    """
+    HBM, MXU_F32, VPU = 819e9, 49.2e12, 3.85e12
+    P_, C_ = 256, 128
+    na = n_isects / C_ + num_tiles / 2  # active chunks
+    ac = aligned_capacity
+    gp_bytes = num_tiles * P_ * 16 * 4  # all group blocks, one visit each
+
+    fwd_bytes = 16 * ac * 4 + 2 * gp_bytes
+    fwd_mxu = na * (2 * P_ * C_ * C_ + 2 * P_ * C_ * n_chan)
+    fwd_vpu = na * 55 * P_ * C_
+    fwd_ms = max(fwd_bytes / HBM, fwd_mxu / MXU_F32, fwd_vpu / VPU) * 1e3
+
+    bwd_bytes = 16 * ac * 4 * 2 + 3 * gp_bytes  # fields in + grads out + res/gout/state
+    bwd_mxu = na * (2 * 2 * P_ * C_ * C_ + 2 * 2 * P_ * C_ * n_chan)
+    bwd_vpu = na * 75 * P_ * C_
+    bwd_ms = max(bwd_bytes / HBM, bwd_mxu / MXU_F32, bwd_vpu / VPU) * 1e3
+    return {
+        "fwd_ms": round(fwd_ms, 3),
+        "bwd_ms": round(bwd_ms, 3),
+        "fwd_bwd_ms": round(fwd_ms + bwd_ms, 3),
+    }
+
+
+def bench_scene(scene, k_hi=K, roofline=False):
     means, scales, quats, chan, opacs = scene
     cam = make_camera(
         look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3)),
@@ -97,7 +138,9 @@ def bench_scene(scene, k_hi=K):
     target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
 
     # static capacity chosen like the trainer does: one host-side projection,
-    # estimate_capacity picks the bucket (slack covers the per-step drift)
+    # estimate_capacity picks the bucket (slack covers the per-step drift);
+    # if a scene/camera tweak ever outgrows the bucket, re-bucket rather than
+    # kill the driver bench
     p0 = jax.jit(
         lambda m: project_gaussians(
             m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
@@ -106,7 +149,8 @@ def bench_scene(scene, k_hi=K):
     )(means)
     CAP = estimate_capacity(p0.num_tiles_hit, slack=1.08)
     n_isects = int(jax.device_get(jnp.sum(p0.num_tiles_hit)))
-    assert n_isects <= CAP, (n_isects, CAP)
+    while n_isects > CAP:
+        CAP += 1 << 14
 
     def loss_fn(m):
         p = project_gaussians(
@@ -119,36 +163,67 @@ def bench_scene(scene, k_hi=K):
         loss, _ = splatfacto_loss(rgb, target)
         return loss
 
-    def make_run(K):
-        @jax.jit
-        def run(m0):
-            def body(i, carry):
-                m = m0 + carry[:1, :1] * 1e-30
-                return carry + jax.grad(loss_fn)(m)[:2, :2] * 1e-6
+    def pre_blend(m):
+        """Everything except the blend kernels: project + bin, all outputs
+        consumed (for roofline attribution: blend_ms ≈ full − pre_blend)."""
+        p = project_gaussians(
+            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
+            opacities=opacs,
+        )
+        b = bin_gaussians(p, tx, ty, CAP)
+        return jnp.sum(
+            (b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4]
+             + b.chunk_base[:4] + b.cum[:4] + b.order[:4]).astype(jnp.float32)
+        ) * 1e-6
 
-            return jax.lax.fori_loop(0, K, body, jnp.zeros((2, 2)))
+    def slope(body_fn, k_hi_=k_hi):
+        def make_run(K):
+            @jax.jit
+            def run(m0):
+                def body(i, carry):
+                    m = m0 + carry[:1, :1] * 1e-30
+                    return carry + body_fn(m)
 
-        return run
+                return jax.lax.fori_loop(0, K, body, jnp.zeros((2, 2)))
 
-    walls = {}
-    for Ki in (5, k_hi):
-        run = make_run(Ki)
-        jax.device_get(run(means))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            jax.device_get(run(means))
-            best = min(best, time.time() - t0)
-        walls[Ki] = best
-    return (walls[k_hi] - walls[5]) / (k_hi - 5) * 1e3, n_isects
+            return run
+
+        walls = {}
+        for Ki in (5, k_hi_):
+            run = make_run(Ki)
+            jax.device_get(run(means))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                jax.device_get(run(means))
+                best = min(best, time.time() - t0)
+            walls[Ki] = best
+        return (walls[k_hi_] - walls[5]) / (k_hi_ - 5) * 1e3
+
+    ms = slope(lambda m: jax.grad(loss_fn)(m)[:2, :2] * 1e-6)
+    info = {"n_isects": n_isects, "capacity": CAP, "tiles": tx * ty}
+    if roofline:
+        from gaussctrl_exp_tpu.ops.binning import _aligned_capacity
+
+        pre_ms = slope(lambda m: jnp.full((2, 2), pre_blend(m)))
+        blend_ms = max(ms - pre_ms, 1e-3)
+        bound = roofline_blend_ms(n_isects, _aligned_capacity(CAP, tx * ty), tx * ty)
+        info["roofline"] = {
+            **bound,
+            "measured_blend_fwd_bwd_ms": round(blend_ms, 2),
+            "pre_blend_ms": round(pre_ms, 2),
+            "vs_roofline": round(blend_ms / bound["fwd_bwd_ms"], 2),
+        }
+    return ms, info
 
 
 def main():
     import os
 
+    fast = bool(os.environ.get("BENCH_FAST"))
     bear = load_scene()
     n_bear = bear[0].shape[0]
-    ms_bear, isects_bear = bench_scene(bear)
+    ms_bear, info_bear = bench_scene(bear, roofline=not fast)
     mpix_s = S * S / (ms_bear / 1e3) / 1e6
 
     result = {
@@ -157,15 +232,17 @@ def main():
         "unit": "ms/frame",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
     }
+    if "roofline" in info_bear:
+        result["roofline"] = info_bear["roofline"]
 
     # BASELINE config 3: garden-scale high-N (post-densify operating point).
     # Skippable for quick runs: BENCH_FAST=1 prints only the headline config.
-    if not os.environ.get("BENCH_FAST"):
+    if not fast:
         garden = load_scene_high_n()
-        ms_garden, isects_garden = bench_scene(garden, k_hi=25)
+        ms_garden, info_garden = bench_scene(garden, k_hi=25)
         result["garden_high_n"] = {
             "gaussians": int(garden[0].shape[0]),
-            "intersections": int(isects_garden),
+            "intersections": int(info_garden["n_isects"]),
             "ms_per_frame": round(ms_garden, 2),
             "mpix_s": round(S * S / (ms_garden / 1e3) / 1e6, 1),
         }

@@ -334,21 +334,13 @@ def _bins_tuple(bins: TileBins):
 
 
 def _gather_cols_big(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Lane-gather columns of a possibly-large table without falling off the
-    TPU fast path: gathers are fast only when the table fits VMEM (measured
-    cliff between 8 MB and 16 MB on v5e), so split big tables into 2^17-lane
-    pieces and select."""
-    R, C = table.shape
-    H = 1 << 17
-    if C <= H:
-        return table[:, idx]
-    out = jnp.zeros((R, idx.shape[0]), table.dtype)
-    for p in range(0, C, H):
-        piece = table[:, p : p + H]
-        local = jnp.clip(idx - p, 0, piece.shape[1] - 1)
-        sel = (idx >= p) & (idx < p + H)
-        out = jnp.where(sel[None, :], piece[:, local], out)
-    return out
+    """Lane-gather columns of a possibly-large table. Re-measured this round
+    on v5e at 1.28M-wide tables: a DIRECT gather is per-query latency-bound
+    (~8.5 ms for 300k queries, 10 rows) but the former piecewise
+    VMEM-sized-pieces strategy was 6x slower still (47 ms) — the where-select
+    chain over full-width pieces dominates. Direct indexing is the fast path
+    at every size measured; kept as a helper for benchmarks/ablation."""
+    return table[:, idx]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -442,31 +434,40 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     )(chunk_tile, chunk_base, chunk_cnt, vals, out_groups, gout)
 
     # ---- slot grads (aligned layout) → per-gaussian grads, scatter-free ----
-    # Sort the stream by aligned_rank so real slots of rank g land contiguous
-    # at [cum[g], cum[g]+nt[g]) (exactly the pre-sort slot layout); pads and
-    # invalid slots carry rank N, sort past capacity, and hold exact zeros
-    # (the kernel writes zeros wherever slot ≥ cnt or the chunk was skipped).
-    # Profiled on v5e: sorting all 10 gradient rows as payloads costs 1.57 ms
-    # at 180k slots; sorting only (key, iota) and applying the permutation as
-    # a VMEM-sized blocked row gather is ~3× cheaper for the same result.
+    # Sort the stream by aligned_rank CARRYING the gradient rows as payloads:
+    # real slots of rank g land contiguous at [cum[g], cum[g]+nt[g]) (exactly
+    # the pre-sort slot layout); pads and invalid slots carry rank N, sort
+    # past capacity, and hold exact zeros. Re-profiled on v5e this round:
+    # the (key, iota)-sort + permutation-gather variant used previously is
+    # LATENCY-BOUND in the gather — O(cap) queries from a >VMEM table cost
+    # ~35 ms at 1.3M slots (vs ~1 ms here for the payload sort's extra rows),
+    # and the "piecewise VMEM-sized pieces" gather helper was 6× worse still.
     cap = capacity
     nrow = 6 + n_chan  # rows beyond this are structural zero padding
-    iota_a = jnp.arange(aligned_rank.shape[0], dtype=jnp.int32)
-    _, perm = jax.lax.sort((aligned_rank, iota_a), num_keys=1, is_stable=True)
-    sg_slot = _gather_cols_big(slot_grads[:nrow], perm[:cap])  # (nrow, cap)
+    reordered = jax.lax.sort(
+        (aligned_rank,) + tuple(slot_grads[r] for r in range(nrow)),
+        num_keys=1, is_stable=True,
+    )
+    sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (nrow, cap)
 
-    # per-gaussian (rank) segment sums: cumsum + ends difference
+    # per-gaussian (rank) segment sums: cumsum + ends difference. The rank →
+    # original-order unsort is FOLDED into the boundary lookup: one N-sort
+    # puts the (hi, cum, nt) boundary descriptors into original gaussian
+    # order, then a single (nrow, 2N) gather reads both segment ends — big
+    # random gathers are per-query latency-bound, so one wide gather beats
+    # two narrow ones plus a separate (nrow, N)←(nrow, N) unsort gather.
     prefix = cumsum_rows(sg_slot)  # (nrow, cap), blocked two-level scan
-    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)
-    lo_idx = jnp.clip(cum - 1, 0, cap - 1)
-    hi = _gather_cols_big(prefix, hi_idx)
-    lo = jnp.where((cum > 0)[None, :], _gather_cols_big(prefix, lo_idx), 0.0)
-    g_rank = jnp.where((nt_sorted > 0)[None, :], hi - lo, 0.0)  # (16, N)
-
-    # unsort ranks → original gaussian order (small sort)
     iota_n = jnp.arange(N, dtype=jnp.int32)
-    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
-    g_orig = g_rank[:, inv_order]
+    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)
+    _, hi_o, cum_o, nt_o = jax.lax.sort(
+        (order, hi_idx, cum, nt_sorted), num_keys=1, is_stable=True
+    )
+    lo_o = jnp.clip(cum_o - 1, 0, cap - 1)
+    both = jnp.concatenate([hi_o, lo_o])
+    vals2 = prefix[:, both]  # ONE (nrow, 2N) gather
+    hi = vals2[:, :N]
+    lo = jnp.where((cum_o > 0)[None, :], vals2[:, N:], 0.0)
+    g_orig = jnp.where((nt_o > 0)[None, :], hi - lo, 0.0)  # (nrow, N), orig order
 
     d_xys = jnp.stack([g_orig[0], g_orig[1]], axis=-1)
     d_conics = jnp.stack([g_orig[2], g_orig[3], g_orig[4]], axis=-1)

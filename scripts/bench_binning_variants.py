@@ -32,7 +32,7 @@ from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-CAP = 1 << 18
+CAP = int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 18
 TX = TY = (S + 15) // 16
 K_LO, K_HI = 5, 30
 
@@ -176,6 +176,76 @@ def slope_time(stage_fn):
     return (walls[K_HI] - walls[K_LO]) / (K_HI - K_LO) * 1e3
 
 
+# --- primitive isolation (appended round 3): where does decode time go? ---
+
+def prim_prep_only(m):
+    p, order, nt_sorted, cum = _prep(m)
+    return (cum[:4] + nt_sorted[:4] + order[:4]).astype(jnp.float32)
+
+
+def prim_prep_sortpayload(m):
+    """depth sort carrying payloads in the sort itself (no post-gathers)."""
+    p = _proj(m)
+    depth_key = jnp.where(p.mask, p.depths, jnp.inf)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    _, order, nt_sorted, bb0, bb1, bb2, bb3 = jax.lax.sort(
+        (depth_key, iota, p.num_tiles_hit, p.tile_bbox[:, 0], p.tile_bbox[:, 1],
+         p.tile_bbox[:, 2], p.tile_bbox[:, 3]),
+        num_keys=1, is_stable=True,
+    )
+    cum = jnp.cumsum(nt_sorted) - nt_sorted
+    return (cum[:4] + bb0[:4] + order[:4]).astype(jnp.float32)
+
+
+def prim_scatter_only(m):
+    p, order, nt_sorted, cum = _prep(m)
+    ras = jnp.zeros(CAP, jnp.int32).at[cum].max(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    return ras[:4].astype(jnp.float32) + cum[:4]
+
+
+def prim_cummax_only(m):
+    p, order, nt_sorted, cum = _prep(m)
+    from gaussctrl_exp_tpu.ops.scan2d import cummax1d
+    x = jnp.zeros(CAP, jnp.int32).at[0].set(cum[0])
+    return cummax1d(x)[:4].astype(jnp.float32)
+
+
+def prim_gather2_only(m):
+    p, order, nt_sorted, cum = _prep(m)
+    gtab = jnp.stack([cum, nt_sorted], axis=0)  # (2, N)
+    idx = jnp.clip(jnp.arange(CAP, dtype=jnp.int32) % N, 0, N - 1)
+    g2 = gtab[:, idx]
+    return g2[0, :4].astype(jnp.float32)
+
+
+def prim_sort_cap_2i32(m):
+    p, order, nt_sorted, cum = _prep(m)
+    k = jnp.arange(CAP, dtype=jnp.int32) ^ 12345
+    v = jnp.arange(CAP, dtype=jnp.int32)
+    sk, sv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    return (sk[:4] + sv[:4] + cum[:1]).astype(jnp.float32)
+
+
+def prim_sort_cap_1i32(m):
+    p, order, nt_sorted, cum = _prep(m)
+    k = jnp.arange(CAP, dtype=jnp.int32) ^ 12345
+    sk = jax.lax.sort(k)
+    return (sk[:4] + cum[:1]).astype(jnp.float32)
+
+
+EXTRA = [
+    ("prep(gathers)", prim_prep_only),
+    ("prep(sortpayl)", prim_prep_sortpayload),
+    ("scatter_marks", prim_scatter_only),
+    ("cummax_cap", prim_cummax_only),
+    ("gather2_cap", prim_gather2_only),
+    ("sort_cap_2i32", prim_sort_cap_2i32),
+    ("sort_cap_1i32", prim_sort_cap_1i32),
+]
+
+
 if __name__ == "__main__":
     # correctness cross-check of the decode variants on device first
     a = jax.jit(decode_current)(means)
@@ -190,6 +260,7 @@ if __name__ == "__main__":
         ("decode_laxcmax", decode_lax_cummax),
         ("decode_blocked", decode_blocked),
         ("decode_merge", decode_mergesort),
+        *EXTRA,
         ("cur_bins", cur_bins),
         ("fwd", fwd),
         ("fwdbwd", fwdbwd),

@@ -21,7 +21,7 @@ from gaussctrl_exp_tpu.ops.projection import project_gaussians
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 35_000
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-CAP = 1 << 18
+CAP = int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 18
 TX = TY = (S + 15) // 16
 K_LO, K_HI = 5, 50
 
@@ -117,21 +117,26 @@ def _bwd_pieces(m, upto):
     nrow = 6 + n_chan
     from gaussctrl_exp_tpu.ops.scan2d import cumsum_rows
 
-    iota_a = jnp.arange(aligned_rank.shape[0], dtype=jnp.int32)
-    _, perm = jax.lax.sort((aligned_rank, iota_a), num_keys=1, is_stable=True)
-    sg_slot = bp._gather_cols_big(slot_grads[:nrow], perm[:CAP])
+    reordered = jax.lax.sort(
+        (aligned_rank,) + tuple(slot_grads[r] for r in range(nrow)),
+        num_keys=1, is_stable=True,
+    )
+    sg_slot = jnp.stack(reordered[1:], axis=0)[:, :CAP]
     prefix = cumsum_rows(sg_slot)
     if upto == 2:
         return prefix[:2, -2:]
 
-    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, CAP - 1)
-    lo_idx = jnp.clip(cum - 1, 0, CAP - 1)
-    hi = bp._gather_cols_big(prefix, hi_idx)
-    lo = jnp.where((cum > 0)[None, :], bp._gather_cols_big(prefix, lo_idx), 0.0)
-    g_rank = jnp.where((nt_sorted > 0)[None, :], hi - lo, 0.0)
     iota_n = jnp.arange(Nn, dtype=jnp.int32)
-    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
-    g_orig = g_rank[:, inv_order]
+    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, CAP - 1)
+    _, hi_o, cum_o, nt_o = jax.lax.sort(
+        (order, hi_idx, cum, nt_sorted), num_keys=1, is_stable=True
+    )
+    lo_o = jnp.clip(cum_o - 1, 0, CAP - 1)
+    both = jnp.concatenate([hi_o, lo_o])
+    vals2 = prefix[:, both]
+    hi = vals2[:, :Nn]
+    lo = jnp.where((cum_o > 0)[None, :], vals2[:, Nn:], 0.0)
+    g_orig = jnp.where((nt_o > 0)[None, :], hi - lo, 0.0)
     return g_orig[:2, :2]
 
 

@@ -5,6 +5,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussctrl_exp_tpu.engine.writer import EventWriter, Profiler
 from gaussctrl_exp_tpu.ops.lpips import LPIPS, convert_torch_lpips, lpips_random
@@ -22,6 +23,7 @@ def test_event_writer_jsonl(tmp_path):
     assert (tmp_path / "eval_000002.png").exists()
 
 
+@pytest.mark.slow
 def test_lpips_properties():
     model, params = lpips_random()
     rng = np.random.default_rng(0)

@@ -51,6 +51,7 @@ def mini_scene(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(mini_scene, tmp_path):
     from gaussctrl_exp_tpu.cli.train import run
     from gaussctrl_exp_tpu.utils.cliconf import parse_config

@@ -50,6 +50,7 @@ def _assert_tree_match(converted: dict, expected_tree: dict, label: str):
     assert not bad, f"{label}: shape mismatches: {bad[:8]}"
 
 
+@pytest.mark.slow
 def test_unet_full_conversion():
     sd = _zeros_sd(sd15_unet_keys())
     tree = convert_state_dict(sd, translate_unet_key, strict=True)  # zero skips

@@ -261,6 +261,7 @@ class TestConvert:
         compare(tree, jax.device_get(tiny.unet_params))
 
 
+@pytest.mark.slow
 class TestEditPipeline:
     def test_reference_view_selection_deterministic(self):
         from gaussctrl_exp_tpu.diffusion.pipeline import select_reference_views
@@ -410,6 +411,7 @@ class TestEditPipeline:
         assert p3.n_inversions == V and p3.n_resumed == 0
 
 
+@pytest.mark.slow
 class TestBf16Parity:
     """bf16 is the deployment compute dtype (load_sd_models default — the
     TPU-native counterpart of the reference's fp16, ad_pipeline.py:101-108).

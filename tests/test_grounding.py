@@ -90,6 +90,7 @@ def test_prompted_object_gets_the_box():
     assert x0 >= 64 and y0 >= 64 and x1 >= 104 and y1 >= 104
 
 
+@pytest.mark.slow
 def test_langsam_composes_grounded_boxes():
     """LangSAM.predict with the CLIP provider: the SAM mask is concentrated
     inside/near the prompted object's box (random SAM weights → coarse
@@ -118,6 +119,7 @@ def test_langsam_composes_grounded_boxes():
     assert boxes[0][0] < 32 and boxes[0][1] < 32
 
 
+@pytest.mark.slow
 def test_grounding_on_rendered_scene_iou():
     """End-to-end: ground a color prompt on an image RENDERED by the real
     renderer (not a synthetic blob grid) and assert box-on-object IoU.

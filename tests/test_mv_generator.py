@@ -4,6 +4,7 @@ reference's broken mv_generator/mv_model stack, SURVEY.md §2.2)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from gaussctrl_exp_tpu.cameras import look_at, make_camera
@@ -105,6 +106,7 @@ class TestDepthGenerator:
         gen = _tiny_gen(latent=8)
         assert gen.attention_resolutions() == [8, 4]
 
+    @pytest.mark.slow
     def test_train_step_reduces_loss(self):
         gen = _tiny_gen()
         opt = optax.adam(1e-3)

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussctrl_exp_tpu.cameras import look_at, make_camera
 from gaussctrl_exp_tpu.experimental.noise_mask import (
@@ -40,6 +41,7 @@ def test_noise_points_inside_cube():
     assert np.all(np.abs(pts) <= cfg.cube_size / 2 + 1e-6)
 
 
+@pytest.mark.slow
 def test_render_noise_mask_depth_visibility():
     """Points at the scene surface paint the mask; points far behind/in front
     do not (|d_point − d_scene| < window, ad_render.py frag shader test)."""

@@ -47,14 +47,14 @@ def mesh():
 def test_sharded_loss_matches_single_device(mesh):
     gs, cam_arrays, gt = _scene_and_cams()
     cfg = ShardedRenderConfig(height=64, width=64, isect_capacity_per_device=1 << 12, sh_degree=1)
-    loss_fn = make_sharded_render_loss(mesh, cfg)
+    loss_fn = jax.jit(make_sharded_render_loss(mesh, cfg))
     params_s, alive_s = shard_params(gs.params, gs.alive, mesh)
     loss_sharded = float(loss_fn(params_s, alive_s, cam_arrays, gt, jnp.int32(0)))
 
     # single-device reference: same math on one device via a 1x1 mesh
     mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     cfg1 = ShardedRenderConfig(height=64, width=64, isect_capacity_per_device=1 << 13, sh_degree=1)
-    loss_fn1 = make_sharded_render_loss(mesh1, cfg1)
+    loss_fn1 = jax.jit(make_sharded_render_loss(mesh1, cfg1))
     losses = []
     for b in range(2):
         one_cam = tuple(a[b : b + 1] for a in cam_arrays)

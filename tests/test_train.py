@@ -258,6 +258,7 @@ def test_refine_cadence_matches_splatfacto():
     assert all(s in exp_refine for s in (26, 28, 30, 32))
 
 
+@pytest.mark.slow
 def test_lpips_in_train_loss():
     """With use_lpips + weights, the jitted step adds the patch-LPIPS term
     (reference defaults gc_model.py:63-69: patch 32, mult 1.0)."""
