@@ -85,17 +85,24 @@ def bin_gaussians(
     N = depths.shape[0]
     num_tiles = tiles_x * tiles_y
 
-    # 1. global depth sort (culled gaussians pushed to the end)
+    # 1. global depth sort (culled gaussians pushed to the end), CARRYING the
+    # per-gaussian payloads in the sort itself: post-sort 1-D gathers
+    # (`x[order]`) are per-query latency-bound on TPU (measured 3.3 ms for
+    # 5 small arrays at N=300k vs 0.8 ms for the payload sort — sorts are
+    # bandwidth-bound and cheap, random gathers are not).
     depth_key = jnp.where(proj.mask, depths, jnp.inf)
-    order = jnp.argsort(depth_key)  # stable ascending
-
-    nt_sorted = proj.num_tiles_hit[order]  # (N,)
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, order, nt_sorted, bb0, bb1, bb2, bb3 = jax.lax.sort(
+        (depth_key, iota_n, proj.num_tiles_hit, proj.tile_bbox[:, 0],
+         proj.tile_bbox[:, 1], proj.tile_bbox[:, 2], proj.tile_bbox[:, 3]),
+        num_keys=1, is_stable=True,
+    )
     cum = cumsum1d(nt_sorted) - nt_sorted  # exclusive cumsum (blocked scan)
     total = cum[-1] + nt_sorted[-1]
 
     # fused small-table row block, BIT-PACKED to 2 rows (halves the gather):
     # row0 = x0 | y0<<12; row1 = bw | cum<<bits_bw
-    bb_r = proj.tile_bbox[order]  # (N, 4) small
+    bb_r = jnp.stack([bb0, bb1, bb2, bb3], axis=1)  # (N, 4), depth order
     bits_bw = max(int(tiles_x).bit_length(), 1)  # bw ∈ [1, tiles_x]
     assert capacity < (1 << (31 - bits_bw)), "capacity too large for packed cum"
     bw_r = jnp.maximum(bb_r[:, 2] - bb_r[:, 0], 1)
