@@ -181,13 +181,17 @@ class GaussCtrlEditPipeline:
         render_jit = jax.jit(
             lambda p, a, cam: render_model(GaussianState(p, a), cam, 30_000, model_cfg)
         )
+        # params as jit ARGUMENTS: closed-over params become lowering
+        # constants (the full multi-GB f32 stack would ship through the
+        # axon relay at each compile)
+        mp = self.pipe.params
         invert_jit = jax.jit(
-            lambda lat, hint: self.pipe.invert(
+            lambda p, lat, hint: self.pipe.invert(
                 lat, rev_ctx, hint, cfgp.num_inference_steps,
-                cfgp.controlnet_conditioning_scale,
+                cfgp.controlnet_conditioning_scale, params=p,
             )
         )
-        encode_jit = jax.jit(self.pipe.image_to_latent)
+        encode_jit = jax.jit(lambda p, img: self.pipe.image_to_latent(img, params=p))
 
         for idx in range(len(datamanager)):
             if resume and self._try_resume_sidecars(datamanager, idx, root):
@@ -198,8 +202,8 @@ class GaussCtrlEditPipeline:
             rgb = np.clip(np.asarray(out.rgb), 0, 1)
             depth = np.asarray(out.depth)[..., 0]
             disparity = depth_to_disparity(depth)
-            latents = encode_jit(jnp.asarray(rgb)[None])
-            z0 = invert_jit(latents, jnp.asarray(disparity)[None])
+            latents = encode_jit(mp, jnp.asarray(rgb)[None])
+            z0 = invert_jit(mp, latents, jnp.asarray(disparity)[None])
             self.unedited[idx] = rgb
             self.disparity[idx] = disparity
             self.z0[idx] = np.asarray(z0[0])
@@ -225,7 +229,7 @@ class GaussCtrlEditPipeline:
 
         proc_unet = make_cross_view_processor(cfgp.self_attn_coeff_unet, cfgp.ref_view_num)
 
-        def gen(z0_batch, hint_batch):
+        def gen(p, z0_batch, hint_batch):
             B = z0_batch.shape[0]
             return self.pipe.generate(
                 z0_batch,
@@ -236,10 +240,12 @@ class GaussCtrlEditPipeline:
                 cfgp.num_inference_steps,
                 cfgp.controlnet_conditioning_scale,
                 processor=proc_unet,
+                params=p,
             )
 
+        mp = self.pipe.params
         gen_jit = jax.jit(gen)
-        decode_jit = jax.jit(self.pipe.latent_to_image)
+        decode_jit = jax.jit(lambda p, lat: self.pipe.latent_to_image(lat, params=p))
 
         ref_z0 = np.stack([self.z0[i] for i in ref_indices])
         ref_disp = np.stack([self.disparity[i] for i in ref_indices])
@@ -254,8 +260,8 @@ class GaussCtrlEditPipeline:
             hint = jnp.asarray(
                 np.concatenate([ref_disp, np.stack([self.disparity[i] for i in chunk])])
             )
-            latents = gen_jit(z0, hint)
-            images = np.asarray(decode_jit(latents))[len(ref_indices) :]
+            latents = gen_jit(mp, z0, hint)
+            images = np.asarray(decode_jit(mp, latents))[len(ref_indices) :]
             for bi, view in enumerate(chunk):
                 edited = images[bi]
                 if view in self.masks:

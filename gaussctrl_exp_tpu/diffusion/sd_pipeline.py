@@ -145,37 +145,55 @@ class SDControlNetPipeline:
         self.inverse_scheduler = DDIMInverseScheduler(sched_cfg)
 
     # --- model evaluation -------------------------------------------------
-    def _eps(self, latents, t, ctx, hint, cond_scale, processor=None):
+    # Every method takes an optional ``params`` override — (unet, controlnet,
+    # vae) param pytrees — so callers can jit with params as ARGUMENTS.
+    # Closed-over params are captured as lowering CONSTANTS by jax.jit, which
+    # on the axon AOT path ships the full ~5 GB f32 stack through the remote
+    # tunnel at every compile (observed; the warning threshold fired). Pass
+    # ``pipe.params`` explicitly into jitted wrappers instead.
+
+    @property
+    def params(self):
+        return (self.m.unet_params, self.m.controlnet_params, self.m.vae_params)
+
+    def _eps(self, latents, t, ctx, hint, cond_scale, processor=None, params=None):
+        up, cp, _ = params if params is not None else self.params
         down_res, mid_res = self.m.controlnet.apply(
-            {"params": self.m.controlnet_params},
+            {"params": cp},
             latents, t, ctx, hint, cond_scale,
             processor=processor,
         )
         return self.m.unet.apply(
-            {"params": self.m.unet_params},
+            {"params": up},
             latents, t, ctx,
             processor=processor,
             controlnet_residuals=(down_res, mid_res),
         )
 
     # --- VAE --------------------------------------------------------------
-    def image_to_latent(self, images: jnp.ndarray, key=None) -> jnp.ndarray:
+    def image_to_latent(self, images: jnp.ndarray, key=None, params=None) -> jnp.ndarray:
         """(B, H, W, 3) in [0, 1] → scaled latents (ad_pipeline.py:247-254)."""
+        vp = params[2] if params is not None else self.m.vae_params
         x = images * 2.0 - 1.0
-        return self.m.vae.apply({"params": self.m.vae_params}, x, key, method=AutoencoderKL.encode)
+        return self.m.vae.apply({"params": vp}, x, key, method=AutoencoderKL.encode)
 
-    def latent_to_image(self, latents: jnp.ndarray) -> jnp.ndarray:
-        x = self.m.vae.apply({"params": self.m.vae_params}, latents, method=AutoencoderKL.decode)
+    def latent_to_image(self, latents: jnp.ndarray, params=None) -> jnp.ndarray:
+        vp = params[2] if params is not None else self.m.vae_params
+        x = self.m.vae.apply({"params": vp}, latents, method=AutoencoderKL.decode)
         return jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
 
     # --- DDIM inversion (guidance 0, reverse prompt) ----------------------
     def invert(self, latents, ctx, hint, num_steps: int = 20, cond_scale: float = 1.0,
-               processor=None):
+               processor=None, params=None):
         ts = self.inverse_scheduler.set_timesteps(num_steps)
+        # carry in f32 regardless of model dtype: scheduler accumulation is
+        # f32 (DDIM precision), the model casts its inputs to its own dtype
+        latents = latents.astype(jnp.float32)
 
         def body(carry, t):
             lat = carry
-            eps = self._eps(lat, jnp.full((lat.shape[0],), t), ctx, hint, cond_scale, processor)
+            eps = self._eps(lat, jnp.full((lat.shape[0],), t), ctx, hint, cond_scale, processor,
+                            params=params)
             lat = self.inverse_scheduler.step(eps, t, lat)
             return lat, None
 
@@ -184,11 +202,12 @@ class SDControlNetPipeline:
 
     # --- CFG generation from (inverted) latents ---------------------------
     def generate(self, latents, ctx_cond, ctx_uncond, hint, guidance_scale: float,
-                 num_steps: int = 20, cond_scale: float = 1.0, processor=None):
+                 num_steps: int = 20, cond_scale: float = 1.0, processor=None, params=None):
         """Batched CFG: the two halves [uncond; cond] go through the model
         together (the doubled batch the cross-view processor's
         ``unet_chunk_size=2`` accounts for)."""
         ts = self.scheduler.set_timesteps(num_steps)
+        latents = latents.astype(jnp.float32)  # f32 carry (see invert)
         B = latents.shape[0]
         ctx2 = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
         hint2 = jnp.concatenate([hint, hint], axis=0)
@@ -196,7 +215,8 @@ class SDControlNetPipeline:
         def body(carry, t):
             lat = carry
             lat2 = jnp.concatenate([lat, lat], axis=0)
-            eps2 = self._eps(lat2, jnp.full((2 * B,), t), ctx2, hint2, cond_scale, processor)
+            eps2 = self._eps(lat2, jnp.full((2 * B,), t), ctx2, hint2, cond_scale, processor,
+                             params=params)
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
             lat = self.scheduler.step(eps, t, lat)

@@ -39,17 +39,19 @@ def bench(dtype):
     ctx = jnp.asarray(rng.normal(size=(B, 77, 768)).astype(np.float32), dtype)
     hint = jnp.asarray(rng.uniform(0, 1, (B, LAT * 8, LAT * 8, 3)).astype(np.float32), dtype)
 
+    mp = pipe.params  # params as jit args, NOT captured constants (5 GB ship)
+
     def make_run(K):
         @jax.jit
-        def run(lat0):
+        def run(mp, lat0):
             def body(i, l):
                 t = jnp.full((B,), 500 - i, jnp.int32)
-                eps = pipe._eps(l, t, ctx, hint, 1.0)
+                eps = pipe._eps(l, t, ctx, hint, 1.0, params=mp)
                 return l - 0.001 * eps.astype(l.dtype)
 
             return jax.lax.fori_loop(0, K, body, lat0)
 
-        return run
+        return lambda lat0: run(mp, lat0)
 
     walls = {}
     for K in (K_LO, K_HI):

@@ -39,17 +39,18 @@ print(f"models initialized in {time.time()-t0:.1f}s")
 rng = np.random.default_rng(0)
 B = REF + VIEWS
 imgs = jnp.asarray(rng.uniform(0, 1, (B, LAT * 8, LAT * 8, 3)).astype(np.float32))
-disp = jnp.asarray(rng.uniform(0, 1, (B, LAT * 8, LAT * 8)).astype(np.float32))
+disp = jnp.asarray(rng.uniform(0, 1, (B, LAT * 8, LAT * 8, 3)).astype(np.float32))
 ctx = jnp.asarray(rng.normal(size=(1, 77, 768)).astype(np.float32))
 
 t0 = time.time()
-lat = jax.jit(pipe.image_to_latent)(imgs)
+mp = pipe.params  # explicit params: avoid 5 GB captured-constant ship
+lat = jax.jit(pipe.image_to_latent)(imgs, params=mp)
 jax.block_until_ready(lat)
 print(f"VAE encode 512²×{B}: {time.time()-t0:.1f}s (incl. compile)  latent {lat.shape}")
 
 rev = jnp.broadcast_to(ctx, (B,) + ctx.shape[1:])
 t0 = time.time()
-z0 = jax.jit(lambda l, h: pipe.invert(l, rev, h, STEPS, 1.0))(lat, disp)
+z0 = jax.jit(lambda p, l, h: pipe.invert(l, rev, h, STEPS, 1.0, params=p))(mp, lat, disp)
 jax.block_until_ready(z0)
 print(f"DDIM inversion ({STEPS} steps): {time.time()-t0:.1f}s (incl. compile)")
 
@@ -58,14 +59,14 @@ pos = jnp.broadcast_to(ctx, (B,) + ctx.shape[1:])
 neg = jnp.broadcast_to(ctx * 0.1, (B,) + ctx.shape[1:])
 t0 = time.time()
 out_lat = jax.jit(
-    lambda z, h: pipe.generate(z, pos, neg, h, 5.0, STEPS, 1.0, processor=proc)
-)(z0, disp)
+    lambda p, z, h: pipe.generate(z, pos, neg, h, 5.0, STEPS, 1.0, processor=proc, params=p)
+)(mp, z0, disp)
 jax.block_until_ready(out_lat)
 print(f"CFG generate + AttnAlign ({STEPS} steps, CFG batch {2*B}): "
       f"{time.time()-t0:.1f}s (incl. compile)")
 
 t0 = time.time()
-imgs_out = jax.jit(pipe.latent_to_image)(out_lat)
+imgs_out = jax.jit(lambda p, l: pipe.latent_to_image(l, params=p))(mp, out_lat)
 jax.block_until_ready(imgs_out)
 print(f"VAE decode: {time.time()-t0:.1f}s")
 

@@ -23,6 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 
+# Persistent compilation cache: the suite is compile-dominated (tiny shapes,
+# many jits); caching XLA:CPU executables across runs cuts repeat wall-clock
+# sharply. Keyed by HLO hash — safe across code changes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gctpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

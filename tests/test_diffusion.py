@@ -448,3 +448,23 @@ class TestBf16Parity:
         params = blk.init(jax.random.PRNGKey(0), x)["params"]
         out = blk.apply({"params": params}, x)
         assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+    def test_bf16_invert_generate_loop_runs(self):
+        """The full denoise loops must run with a bf16 model: scheduler steps
+        accumulate in f32, so the scan carry must stay f32 even when the
+        VAE/UNet emit bf16 (caught on hardware by scripts/edit_smoke_tpu.py)."""
+        m = init_random_models(jax.random.PRNGKey(5), latent=8, dtype=jnp.bfloat16, **TINY)
+        pipe = SDControlNetPipeline(m)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+        hint = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+        ctx = jnp.asarray(rng.normal(size=(2, 77, TINY["cross_dim"])).astype(np.float32))
+        mp = pipe.params
+        lat = jax.jit(pipe.image_to_latent)(imgs, params=mp)
+        assert lat.dtype == jnp.bfloat16  # the model really is bf16
+        z0 = jax.jit(lambda p, l, h: pipe.invert(l, ctx, h, 2, 1.0, params=p))(mp, lat, hint)
+        out = jax.jit(
+            lambda p, z, h: pipe.generate(z, ctx, ctx * 0.1, h, 5.0, 2, 1.0, params=p)
+        )(mp, z0, hint)
+        img = jax.jit(lambda p, l: pipe.latent_to_image(l, params=p))(mp, out)
+        assert bool(jnp.isfinite(img.astype(jnp.float32)).all())
