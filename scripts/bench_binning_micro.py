@@ -71,22 +71,30 @@ def _proj(m):
 # --- cumulative binning sub-stages (mirror bin_gaussians step numbering) ---
 
 def upto_sort_cum(m):
+    # mirrors bin_gaussians step 1 (payload-carrying depth sort)
     p = _proj(m)
     depth_key = jnp.where(p.mask, p.depths, jnp.inf)
-    order = jnp.argsort(depth_key)
-    nt_sorted = p.num_tiles_hit[order]
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, order, nt_sorted, bb0, bb1, bb2, bb3 = jax.lax.sort(
+        (depth_key, iota_n, p.num_tiles_hit, p.tile_bbox[:, 0], p.tile_bbox[:, 1],
+         p.tile_bbox[:, 2], p.tile_bbox[:, 3]),
+        num_keys=1, is_stable=True,
+    )
     cum = jnp.cumsum(nt_sorted) - nt_sorted
-    bb_r = p.tile_bbox[order]
-    return (cum[:4] + bb_r[:4, 0] + order[:4]).astype(jnp.float32)
+    return (cum[:4] + bb0[:4] + order[:4]).astype(jnp.float32)
 
 
 def upto_decode(m):
     p = _proj(m)
     depth_key = jnp.where(p.mask, p.depths, jnp.inf)
-    order = jnp.argsort(depth_key)
-    nt_sorted = p.num_tiles_hit[order]
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, order, nt_sorted, bb0, bb1, bb2, bb3 = jax.lax.sort(
+        (depth_key, iota_n, p.num_tiles_hit, p.tile_bbox[:, 0], p.tile_bbox[:, 1],
+         p.tile_bbox[:, 2], p.tile_bbox[:, 3]),
+        num_keys=1, is_stable=True,
+    )
     cum = jnp.cumsum(nt_sorted) - nt_sorted
-    bb_r = p.tile_bbox[order]
+    bb_r = jnp.stack([bb0, bb1, bb2, bb3], axis=1)
     bits_bw = max(int(TX).bit_length(), 1)
     bw_r = jnp.maximum(bb_r[:, 2] - bb_r[:, 0], 1)
     gtab = jnp.stack([bb_r[:, 0] | (bb_r[:, 1] << 12), bw_r | (cum << bits_bw)], axis=0)
