@@ -37,7 +37,9 @@ def _setup(rng, n=200, H=64, W=64, f=80.0, n_chan=4):
     return args, args_sorted, bins, H, W
 
 
-@pytest.mark.parametrize("n", [40, 300])
+@pytest.mark.parametrize(
+    "n", [pytest.param(40, marks=pytest.mark.slow), 300]
+)
 def test_forward_matches_jnp(rng, n):
     args, args_sorted, bins, H, W = _setup(rng, n=n)
     out_p = rasterize_tiles_pallas(*args, bins, H, W, interpret=True)
