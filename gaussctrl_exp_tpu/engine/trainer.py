@@ -229,10 +229,11 @@ class Trainer:
     """Host-side loop: sample views, step, refine at cadence (gc_trainer.py:176-255)."""
 
     def __init__(self, gs: GaussianState, datamanager, cfg: TrainConfig = TrainConfig(),
-                 lpips=None):
+                 lpips=None, auto_rebucket: bool = True):
         self.cfg = cfg
         self.dm = datamanager
         self.lpips = lpips
+        self.auto_rebucket = auto_rebucket
         self.optimizer = make_gaussian_optimizer(max_steps=cfg.max_steps)
         self.state = init_train_state(gs, cfg, self.optimizer, num_views=len(datamanager))
         self.train_step = make_train_step(cfg, self.optimizer, lpips=lpips)
@@ -243,6 +244,35 @@ class Trainer:
         self.step = 0
         self.history: list[dict] = []
         self._eval_fn = None
+        # capacity safety (ops/binning.py's "overflow is reported" promise):
+        # every n_isects the device reports is checked against the bucket at
+        # log cadence AND on the first step after every refine — a
+        # densify-driven overflow re-buckets (recompiles) instead of silently
+        # truncating intersections
+        self._check_rebucket = True
+
+    def _maybe_rebucket(self, n_isects: int) -> bool:
+        """Grow the static isect bucket when the scene approaches/exceeds it.
+
+        Returns True when the jitted step was rebuilt at a larger capacity.
+        Threshold 0.92: re-bucket BEFORE truncation (estimate_capacity's 1.08
+        bench slack would already be eaten at that point)."""
+        cap = self.cfg.model.render.isect_capacity
+        if not self.auto_rebucket or n_isects <= int(cap * 0.92):
+            return False
+        from ..ops.binning import round_capacity
+
+        new_cap = round_capacity(max(n_isects, cap + 1), slack=1.5)
+        render_cfg = dataclasses.replace(self.cfg.model.render, isect_capacity=new_cap)
+        model_cfg = dataclasses.replace(self.cfg.model, render=render_cfg)
+        self.cfg = dataclasses.replace(self.cfg, model=model_cfg)
+        self.train_step = make_train_step(self.cfg, self.optimizer, lpips=self.lpips)
+        self._eval_fn = None  # eval renders use cfg.model too
+        self.history.append(
+            {"step": self.step, "capacity_rebucket_from": cap,
+             "capacity_rebucket_to": new_cap, "n_isects": n_isects}
+        )
+        return True
 
     def train(self, num_steps: int, log_every: int = 50, callback=None):
         d = self.cfg.densify
@@ -274,6 +304,7 @@ class Trainer:
                 )
                 if do_densify:
                     self.state, info = self.refine_step(self.state)
+                    self._check_rebucket = True  # next step re-measures isects
                 elif (
                     self.step >= d.stop_split_at
                     and d.continue_cull_post_densification
@@ -282,8 +313,13 @@ class Trainer:
                 if self.step < d.stop_split_at and pos == d.refine_every:
                     self.state = self.reset_opacity_step(self.state)
 
+            if self._check_rebucket:
+                self._check_rebucket = False
+                self._maybe_rebucket(int(jax.device_get(metrics["n_isects"])))
+
             if self.step % log_every == 0 or self.step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                self._maybe_rebucket(int(m["n_isects"]))
                 m["step"] = self.step
                 m["n_alive"] = int(jax.device_get(jnp.sum(self.state.alive)))
                 # device-memory scalar (reference: GPU Memory (MB),

@@ -15,11 +15,17 @@ v5e (slope-timed, tunnel overhead subtracted):
   * 1-row / 1-D gathers are pathological (~2.8 ms) regardless of table size.
   * scatters other than tiny ``.at[].max`` marks are avoided entirely.
 
-Therefore every permutation here is a SORT, and every gather reads a
-small (≤ N-gaussian) table:
+Therefore every permutation here is a SORT (payload-carrying, so no
+post-sort gathers), and gathers read small (≤ N-gaussian) tables — with one
+deliberate exception: the blend backward's segment-boundary lookup does a
+single wide gather from the capacity-sized prefix table (see
+blend_pallas._blend_core_bwd), because one wide gather measured cheaper than
+two narrow ones plus an unsort gather:
 
-  1. Sort all N Gaussians by camera depth (``argsort``). *Rank* = index into
-     depth-sorted arrays; per-tile depth order is inherited from ranks.
+  1. Sort all N Gaussians by camera depth with ``lax.sort`` CARRYING the
+     per-gaussian payloads (tile hits, bbox) in the sort itself. *Rank* =
+     index into depth-sorted arrays; per-tile depth order is inherited from
+     ranks.
   2. Expand Gaussian→tile intersections over ``capacity`` slots: each
      gaussian's rank is marked at its first slot (``.at[].max``) and filled
      with a cummax scan; per-slot (bbox, cum) come from ONE fused 4-row
@@ -61,6 +67,7 @@ _HUGE2 = 1 << 27  # sort-to-end key for unused pad entries
 
 class TileBins(NamedTuple):
     order: jnp.ndarray  # (N,) gaussian index by ascending depth (culled last)
+    inv_order: jnp.ndarray  # (N,) depth rank of each gaussian (inverse of order)
     cum: jnp.ndarray  # (N,) exclusive cumsum of tile hits in rank order
     nt_sorted: jnp.ndarray  # (N,) tile hits in rank order
     sorted_rank: jnp.ndarray  # (capacity,) rank per tile-sorted slot
@@ -99,6 +106,9 @@ def bin_gaussians(
     )
     cum = cumsum1d(nt_sorted) - nt_sorted  # exclusive cumsum (blocked scan)
     total = cum[-1] + nt_sorted[-1]
+    # inverse permutation (gaussian → depth rank): one 2-row sort; the blend
+    # backward's final rank→original unsort is a small lane gather with this
+    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1)
 
     # fused small-table row block, BIT-PACKED to 2 rows (halves the gather):
     # row0 = x0 | y0<<12; row1 = bw | cum<<bits_bw
@@ -217,6 +227,7 @@ def bin_gaussians(
 
     return TileBins(
         order=order,
+        inv_order=inv_order,
         cum=cum,
         nt_sorted=nt_sorted,
         sorted_rank=sorted_rank,
@@ -239,16 +250,24 @@ def _aligned_capacity(capacity: int, num_tiles: int) -> int:
     return (cap + q - 1) // q * q
 
 
+def round_capacity(total_isects: int, slack: float = 1.5, minimum: int = 1 << 14) -> int:
+    """Static intersection capacity for a measured/estimated isect total.
+
+    Rounded up to a multiple of 16384 (the sort/scan/gather costs scale
+    linearly with capacity, so pow-2-only rounding wastes up to 2× device
+    time; 16 Ki granularity keeps the number of distinct compiled shapes
+    small enough)."""
+    cap = max(minimum, int(total_isects * slack))
+    g = 1 << 14
+    return (cap + g - 1) // g * g
+
+
 def estimate_capacity(num_tiles_hit: jnp.ndarray, slack: float = 1.5, minimum: int = 1 << 14) -> int:
     """Host-side helper: pick a static intersection capacity with headroom.
 
     Call once outside jit (e.g. at scene load or after densify) and recompile
-    only when the capacity bucket changes. Rounded up to a multiple of 16384
-    (the sort/scan/gather costs scale linearly with capacity, so pow-2-only
-    rounding wastes up to 2× device time; 16 Ki granularity keeps the number
-    of distinct compiled shapes small enough).
-    """
+    only when the capacity bucket changes; the trainer's auto-rebucketing
+    (engine/trainer.py) does exactly that when ``n_isects`` approaches the
+    bucket."""
     total = int(jax.device_get(jnp.sum(num_tiles_hit)))
-    cap = max(minimum, int(total * slack))
-    g = 1 << 14
-    return (cap + g - 1) // g * g
+    return round_capacity(total, slack, minimum)

@@ -323,6 +323,7 @@ def _image_to_tiles(img, finalT, tiles_y, tiles_x, n_chan):
 def _bins_tuple(bins: TileBins):
     return (
         bins.order,
+        bins.inv_order,
         bins.cum,
         bins.nt_sorted,
         bins.tile_cnt,
@@ -352,7 +353,7 @@ def _blend_core(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned
 
 
 def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned_capacity, interpret):
-    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
+    order, inv_order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
@@ -401,7 +402,7 @@ def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
 def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     vals, out_groups, bins_arrays, N = res
-    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
+    order, inv_order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     g_img, g_finalT = cots
     n_chan = g_img.shape[-1]
     tiles_x = (W + BLOCK - 1) // BLOCK
@@ -450,24 +451,19 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     )
     sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (nrow, cap)
 
-    # per-gaussian (rank) segment sums: cumsum + ends difference. The rank →
-    # original-order unsort is FOLDED into the boundary lookup: one N-sort
-    # puts the (hi, cum, nt) boundary descriptors into original gaussian
-    # order, then a single (nrow, 2N) gather reads both segment ends — big
-    # random gathers are per-query latency-bound, so one wide gather beats
-    # two narrow ones plus a separate (nrow, N)←(nrow, N) unsort gather.
+    # per-gaussian (rank) segment sums: cumsum + ends difference. Segments
+    # tile [0, total) contiguously in rank order, so the low boundary of
+    # gaussian g is the high boundary of g-1: ONE (nrow, N) gather at the
+    # ASCENDING end positions + a lane shift replaces the former descriptor
+    # N-sort + (nrow, 2N) gather (measured 0.46 vs 0.60 ms at bear scale,
+    # scripts/bench_reduction_micro.py). The rank→original unsort is a small
+    # (nrow, N)←(nrow, N) lane gather with the precomputed inverse perm.
     prefix = cumsum_rows(sg_slot)  # (nrow, cap), blocked two-level scan
-    iota_n = jnp.arange(N, dtype=jnp.int32)
-    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)
-    _, hi_o, cum_o, nt_o = jax.lax.sort(
-        (order, hi_idx, cum, nt_sorted), num_keys=1, is_stable=True
-    )
-    lo_o = jnp.clip(cum_o - 1, 0, cap - 1)
-    both = jnp.concatenate([hi_o, lo_o])
-    vals2 = prefix[:, both]  # ONE (nrow, 2N) gather
-    hi = vals2[:, :N]
-    lo = jnp.where((cum_o > 0)[None, :], vals2[:, N:], 0.0)
-    g_orig = jnp.where((nt_o > 0)[None, :], hi - lo, 0.0)  # (nrow, N), orig order
+    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)  # ascending
+    ends = prefix[:, hi_idx]  # (nrow, N)
+    g_rank = ends - jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))
+    g_rank = jnp.where((nt_sorted > 0)[None, :], g_rank, 0.0)
+    g_orig = g_rank[:, inv_order]  # (nrow, N), original gaussian order
 
     d_xys = jnp.stack([g_orig[0], g_orig[1]], axis=-1)
     d_conics = jnp.stack([g_orig[2], g_orig[3], g_orig[4]], axis=-1)

@@ -79,7 +79,7 @@ def fwd_only(m):
 def _bwd_pieces(m, upto):
     out, res, ba, bins = _setup(m)
     vals, out_tiles, bins_arrays, Nn = res
-    order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = ba
+    order, inv_order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = ba
     import functools
 
     from jax.experimental import pallas as pl
@@ -126,17 +126,11 @@ def _bwd_pieces(m, upto):
     if upto == 2:
         return prefix[:2, -2:]
 
-    iota_n = jnp.arange(Nn, dtype=jnp.int32)
     hi_idx = jnp.clip(cum + nt_sorted - 1, 0, CAP - 1)
-    _, hi_o, cum_o, nt_o = jax.lax.sort(
-        (order, hi_idx, cum, nt_sorted), num_keys=1, is_stable=True
-    )
-    lo_o = jnp.clip(cum_o - 1, 0, CAP - 1)
-    both = jnp.concatenate([hi_o, lo_o])
-    vals2 = prefix[:, both]
-    hi = vals2[:, :Nn]
-    lo = jnp.where((cum_o > 0)[None, :], vals2[:, Nn:], 0.0)
-    g_orig = jnp.where((nt_o > 0)[None, :], hi - lo, 0.0)
+    ends = prefix[:, hi_idx]
+    g_rank = ends - jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))
+    g_rank = jnp.where((nt_sorted > 0)[None, :], g_rank, 0.0)
+    g_orig = g_rank[:, inv_order]
     return g_orig[:2, :2]
 
 

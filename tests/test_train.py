@@ -327,3 +327,60 @@ def test_camera_opt_accumulation():
     assert float(jnp.abs(trainer.state.cam_deltas).max()) == 0.0  # still accumulating
     trainer.train(2, log_every=10)
     assert float(jnp.abs(trainer.state.cam_deltas).max()) > 0.0  # stepped at k=4
+
+
+def test_capacity_rebucket_on_densify_overflow():
+    """A densify-driven isect overflow must RE-BUCKET (recompile at a larger
+    static capacity), not silently truncate — the consumer of
+    ops/binning.py's "overflow is reported" promise."""
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(100, capacity=512, sh_degree=0, seed=5)
+    gs = GaussianState(
+        gs.params._replace(scales=jnp.full((512, 3), np.log(0.3))), gs.alive
+    )
+    cap0 = 768
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=cap0, max_per_tile=256),
+        ),
+        densify=DensifyConfig(
+            warmup_length=2, refine_every=4, densify_grad_thresh=1e-12,
+            cull_alpha_thresh=0.01,
+        ),
+    )
+    trainer = Trainer(gs, dm, cfg)
+    trainer.train(1, log_every=100)
+    # pre-densify the scene must fit its bucket (else the test proves nothing)
+    assert trainer.cfg.model.render.isect_capacity == cap0
+    trainer.train(24, log_every=100)
+    records = [h for h in trainer.history if "capacity_rebucket_to" in h]
+    assert records, "densify grew the scene past the bucket but no rebucket fired"
+    assert records[0]["capacity_rebucket_from"] == cap0
+    assert trainer.cfg.model.render.isect_capacity > cap0
+    assert records[0]["step"] > 1  # triggered by densify, not scene load
+    # and the new bucket actually holds the grown scene
+    assert records[-1]["n_isects"] <= trainer.cfg.model.render.isect_capacity
+
+
+def test_rebucket_unit():
+    """_maybe_rebucket grows the bucket and rebuilds the jitted step."""
+    cams, images = _make_target_scene()
+    dm = FakeDataManager(cams, images)
+    gs = init_random(40, capacity=64, sh_degree=0, seed=5)
+    cfg = TrainConfig(
+        model=SplatModelConfig(
+            sh_degree=0, background_color="white",
+            render=RenderConfig(impl="jnp", isect_capacity=1 << 12, max_per_tile=128),
+        ),
+        densify=DensifyConfig(warmup_length=10_000),
+    )
+    trainer = Trainer(gs, dm, cfg)
+    old_step = trainer.train_step
+    assert not trainer._maybe_rebucket(100)  # well under threshold: no-op
+    assert trainer.train_step is old_step
+    assert trainer._maybe_rebucket(4000)  # 4000 > 0.92 * 4096
+    assert trainer.cfg.model.render.isect_capacity >= 4000
+    assert trainer.train_step is not old_step
+    trainer.train(1, log_every=1)  # rebuilt step still runs
