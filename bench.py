@@ -2,10 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload = the BASELINE.md headline config: bear-scale scene (~35k gaussians,
-the bundled bear ply is 34,174 points), one 512×512 camera, forward render +
-full backward through projection/SH/binning/blend + L1+SSIM loss (the per-step
-work of the reference's finetune phase, gc_trainer.py:257-281).
+Workload = the BASELINE.md headline config on the HONEST product path: the
+flagship model's train-time render (models/splat_model.render_model) — degree-3
+SH eval with grads to the SH coefficients, sigmoid(opacities), exp(scales),
+quat normalization, projection, binning, Pallas tile blend — plus the L1+SSIM
+splatfacto loss, differentiated to all six parameter groups AND the screen-xy
+densification statistic. This is the per-step work of the reference's finetune
+phase (gc_trainer.py:257-281) and matches what gsplat's timed path includes
+(gc_model.py:196-220: SH eval + activations + rasterize fwd/bwd).
 
 vs_baseline compares against the reference stack's rasterize fwd+bwd on its
 tested hardware (gsplat v0.1.2 on an RTX A5000, README.md:53-58): no number is
@@ -33,60 +37,82 @@ import numpy as np
 
 from gaussctrl_exp_tpu.cameras import camera_matrices, look_at, make_camera
 from gaussctrl_exp_tpu.data.ply import read_ply_points
-from gaussctrl_exp_tpu.ops.binning import bin_gaussians, estimate_capacity
-from gaussctrl_exp_tpu.ops.blend_pallas import rasterize_tiles_pallas
+from gaussctrl_exp_tpu.models.gaussians import GaussianParams, GaussianState, rgb_to_sh_dc
+from gaussctrl_exp_tpu.models.splat_model import SplatModelConfig, render_model
+from gaussctrl_exp_tpu.ops.binning import (
+    bin_gaussians,
+    estimate_aligned_capacity,
+    estimate_capacity,
+)
 from gaussctrl_exp_tpu.ops.projection import BLOCK, project_gaussians
+from gaussctrl_exp_tpu.ops.renderer import RenderConfig
+from gaussctrl_exp_tpu.ops.sh import num_sh_bases
 from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 S = 512
 K = 50
+SH_DEGREE = 3
 BASELINE_MPIX_S = 512 * 512 / 10e-3 / 1e6  # gsplat A5000-class: ~10 ms/frame
 
 BEAR_PLY = Path("/root/reference/data/bear/sparse_pc.ply")
 
 
-def load_scene():
+def _params(xyz, rgb, log_scales, seed):
+    """Full degree-3 parameter set (non-zero rest coeffs so SH grads flow)."""
+    n = xyz.shape[0]
+    rng = np.random.default_rng(seed)
+    K_sh = num_sh_bases(SH_DEGREE)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    fdc = np.asarray(rgb_to_sh_dc(jnp.asarray(rgb))).astype(np.float32)
+    frest = (rng.normal(size=(n, K_sh - 1, 3)) * 0.05).astype(np.float32)
+    opac_lin = rng.uniform(0.4, 0.9, (n, 1)).astype(np.float32)
+    params = GaussianParams(
+        means=jnp.asarray(xyz),
+        scales=jnp.asarray(log_scales),
+        quats=jnp.asarray(quats),
+        features_dc=jnp.asarray(fdc),
+        features_rest=jnp.asarray(frest),
+        opacities=jnp.asarray(np.log(opac_lin / (1 - opac_lin))),
+    )
+    return GaussianState(params, jnp.ones(n, bool))
+
+
+def load_scene() -> GaussianState:
     if BEAR_PLY.exists():
         xyz, rgb = read_ply_points(BEAR_PLY)
-        xyz = xyz / np.abs(xyz).max()  # normalize like the dataparser
+        xyz = xyz / np.abs(xyz).max() * 2.0  # normalize like the dataparser
         n = xyz.shape[0]
         rng = np.random.default_rng(0)
         colors = (rgb.astype(np.float32) / 255.0) if rgb is not None else rng.uniform(0, 1, (n, 3))
-        return (
-            jnp.asarray(xyz * 2.0),
-            jnp.asarray(np.full((n, 3), 0.02, np.float32)),
-            jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
-            jnp.asarray(np.concatenate([colors, np.zeros((n, 1), np.float32)], 1)),
-            jnp.asarray(rng.uniform(0.4, 0.9, n).astype(np.float32)),
+        return _params(
+            xyz.astype(np.float32), colors, np.full((n, 3), np.log(0.02), np.float32), 0
         )
     rng = np.random.default_rng(0)
     n = 35_000
-    return (
-        jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.8),
-        jnp.asarray(np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.5 - 4.2)),
-        jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
-        jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32)),
-        jnp.asarray(rng.uniform(0.4, 0.9, n).astype(np.float32)),
+    return _params(
+        (rng.normal(size=(n, 3)) * 0.8).astype(np.float32),
+        rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        (rng.normal(size=(n, 3)) * 0.5 - 4.2).astype(np.float32),
+        0,
     )
 
 
-def load_scene_high_n(n: int = 300_000):
+def load_scene_high_n(n: int = 300_000) -> GaussianState:
     """Garden-scale high-N scene (BASELINE config 3): a trained-out 3DGS scene
     after densification runs at O(10⁵–10⁶) gaussians; no trained checkpoint
     ships in-repo, so this synthesizes a realistic high-N operating point
     (dense cloud, small anisotropic splats — post-densify statistics)."""
     rng = np.random.default_rng(7)
-    return (
-        jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 1.2),
-        jnp.asarray(np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.4 - 5.3)),
-        jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
-        jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32)),
-        jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+    return _params(
+        (rng.normal(size=(n, 3)) * 1.2).astype(np.float32),
+        rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        (rng.normal(size=(n, 3)) * 0.4 - 5.3).astype(np.float32),
+        7,
     )
 
 
 def roofline_blend_ms(n_isects: int, aligned_capacity: int, num_tiles: int,
-                      n_chan: int = 4) -> dict:
+                      n_chan: int = 3) -> dict:
     """Analytic speed-of-light bound for the blend fwd+bwd Pallas kernels on
     one v5e chip (BASELINE.md "within 1.2× roofline" target).
 
@@ -126,63 +152,96 @@ def roofline_blend_ms(n_isects: int, aligned_capacity: int, num_tiles: int,
     }
 
 
-def bench_scene(scene, k_hi=K, roofline=False):
-    means, scales, quats, chan, opacs = scene
+def _pick_capacity(gs: GaussianState, cam):
+    """Static capacity chosen like the trainer does: one host-side projection,
+    estimate_capacity picks the bucket; if the scene outgrows the bucket,
+    re-bucket (and say so — benchmark numbers at a grown capacity must be
+    distinguishable) rather than kill the driver bench."""
+    vm, pm, fm = camera_matrices(cam)
+    p0 = jax.jit(
+        lambda prm: project_gaussians(
+            prm.means, jnp.exp(prm.scales), 1.0, prm.quats, vm, fm,
+            cam.fx, cam.fy, cam.cx, cam.cy, S, S,
+            opacities=jax.nn.sigmoid(prm.opacities[:, 0]),
+        )
+    )(gs.params)
+    cap = estimate_capacity(p0.num_tiles_hit, slack=1.08)
+    n_isects = int(jax.device_get(jnp.sum(p0.num_tiles_hit)))
+    if n_isects > cap:
+        grown = cap
+        while n_isects > grown:
+            grown += 1 << 14
+        print(f"# capacity re-bucketed: {cap} -> {grown} (n_isects {n_isects})",
+              file=sys.stderr)
+        cap = grown
+    tx = (S + BLOCK - 1) // BLOCK
+    acap = estimate_aligned_capacity(p0, tx, tx, cap)
+    return cap, acap, n_isects
+
+
+def bench_scene(gs: GaussianState, k_hi=K, roofline=False):
     cam = make_camera(
         look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3)),
         fx=S * 1.05, fy=S * 1.05, cx=S / 2, cy=S / 2, width=S, height=S,
     )
-    vm, pm, fm = camera_matrices(cam)
     tx = ty = (S + BLOCK - 1) // BLOCK
     rng = np.random.default_rng(1)
     target = jnp.asarray(rng.uniform(0, 1, (S, S, 3)).astype(np.float32))
+    background = jnp.ones(3)
 
-    # static capacity chosen like the trainer does: one host-side projection,
-    # estimate_capacity picks the bucket (slack covers the per-step drift);
-    # if a scene/camera tweak ever outgrows the bucket, re-bucket rather than
-    # kill the driver bench
-    p0 = jax.jit(
-        lambda m: project_gaussians(
-            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
-            opacities=opacs,
-        )
-    )(means)
-    CAP = estimate_capacity(p0.num_tiles_hit, slack=1.08)
-    n_isects = int(jax.device_get(jnp.sum(p0.num_tiles_hit)))
-    while n_isects > CAP:
-        CAP += 1 << 14
+    CAP, ACAP, n_isects = _pick_capacity(gs, cam)
+    cfg = SplatModelConfig(
+        sh_degree=SH_DEGREE,
+        background_color="white",
+        render=RenderConfig(impl="pallas", isect_capacity=CAP, aligned_capacity=ACAP),
+    )
+    alive = gs.alive
+    step = jnp.int32(30 * cfg.sh_degree_interval)  # full-degree SH schedule
 
-    def loss_fn(m):
-        p = project_gaussians(
-            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
-            opacities=opacs,
+    def loss_fn(params: GaussianParams, xys_offset):
+        out = render_model(
+            GaussianState(params, alive), cam, step, cfg,
+            training=True, background_override=background, xys_offset=xys_offset,
         )
-        b = bin_gaussians(p, tx, ty, CAP)
-        out = rasterize_tiles_pallas(p.xys, p.conics, chan, opacs, b, S, S)
-        rgb = jnp.minimum(out.img[:, :, :3], 1.0)
-        loss, _ = splatfacto_loss(rgb, target)
+        loss, _ = splatfacto_loss(out.rgb, target)
         return loss
 
-    def pre_blend(m):
-        """Everything except the blend kernels: project + bin, all outputs
-        consumed (for roofline attribution: blend_ms ≈ full − pre_blend)."""
+    def train_grads(params):
+        """The honest per-step device work: grads to all six param groups and
+        the xys densification statistic (reference gc_trainer.py:257-281)."""
+        xys_offset = jnp.zeros((params.capacity, 2))
+        _, (pg, xg) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, xys_offset)
+        # consume every grad leaf with a cheap full reduction (a reshape[:4]
+        # probe makes XLA materialize a full reshape copy — measured 1.5 ms)
+        acc = jnp.zeros((2, 2)) + jnp.sum(xg) + sum(jnp.sum(leaf) for leaf in pg)
+        return acc
+
+    def pre_blend(params):
+        """Everything except the blend kernels: transforms + SH colors +
+        project + bin, all outputs consumed (for roofline attribution:
+        blend_ms ≈ full − pre_blend)."""
+        from gaussctrl_exp_tpu.models.splat_model import model_colors
+
+        vm, pm, fm = camera_matrices(cam)
+        colors = model_colors(params, cam, step, cfg)
         p = project_gaussians(
-            m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S,
-            opacities=opacs,
+            params.means, jnp.exp(params.scales), 1.0, params.quats, vm, fm,
+            cam.fx, cam.fy, cam.cx, cam.cy, S, S,
+            opacities=jax.nn.sigmoid(params.opacities[:, 0]),
         )
-        b = bin_gaussians(p, tx, ty, CAP)
+        b = bin_gaussians(p, tx, ty, CAP, ACAP)
         return jnp.sum(
             (b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4]
              + b.chunk_base[:4] + b.cum[:4] + b.order[:4]).astype(jnp.float32)
-        ) * 1e-6
+        ) * 1e-6 + jnp.sum(colors[:2]) * 1e-9
 
     def slope(body_fn, k_hi_=k_hi):
         def make_run(K):
             @jax.jit
-            def run(m0):
+            def run(p0: GaussianParams):
                 def body(i, carry):
-                    m = m0 + carry[:1, :1] * 1e-30
-                    return carry + body_fn(m)
+                    p = p0._replace(means=p0.means + carry[:1, :1] * 1e-30)
+                    return carry + body_fn(p)
 
                 return jax.lax.fori_loop(0, K, body, jnp.zeros((2, 2)))
 
@@ -191,23 +250,22 @@ def bench_scene(scene, k_hi=K, roofline=False):
         walls = {}
         for Ki in (5, k_hi_):
             run = make_run(Ki)
-            jax.device_get(run(means))  # compile + warm
+            jax.device_get(run(gs.params))  # compile + warm
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                jax.device_get(run(means))
+                jax.device_get(run(gs.params))
                 best = min(best, time.time() - t0)
             walls[Ki] = best
         return (walls[k_hi_] - walls[5]) / (k_hi_ - 5) * 1e3
 
-    ms = slope(lambda m: jax.grad(loss_fn)(m)[:2, :2] * 1e-6)
-    info = {"n_isects": n_isects, "capacity": CAP, "tiles": tx * ty}
+    ms = slope(lambda p: train_grads(p) * 1e-6)
+    info = {"n_isects": n_isects, "capacity": CAP, "aligned_capacity": ACAP,
+            "tiles": tx * ty}
     if roofline:
-        from gaussctrl_exp_tpu.ops.binning import _aligned_capacity
-
-        pre_ms = slope(lambda m: jnp.full((2, 2), pre_blend(m)))
+        pre_ms = slope(lambda p: jnp.full((2, 2), pre_blend(p)))
         blend_ms = max(ms - pre_ms, 1e-3)
-        bound = roofline_blend_ms(n_isects, _aligned_capacity(CAP, tx * ty), tx * ty)
+        bound = roofline_blend_ms(n_isects, ACAP, tx * ty)
         info["roofline"] = {
             **bound,
             "measured_blend_fwd_bwd_ms": round(blend_ms, 2),
@@ -222,12 +280,15 @@ def main():
 
     fast = bool(os.environ.get("BENCH_FAST"))
     bear = load_scene()
-    n_bear = bear[0].shape[0]
+    n_bear = bear.params.capacity
     ms_bear, info_bear = bench_scene(bear, roofline=not fast)
     mpix_s = S * S / (ms_bear / 1e3) / 1e6
 
     result = {
-        "metric": f"512x512 render fwd+bwd, bear-scale ({n_bear} gaussians), 1 chip",
+        "metric": (
+            f"512x512 train-step render fwd+bwd (SH-3 + activations via "
+            f"render_model), bear-scale ({n_bear} gaussians), 1 chip"
+        ),
         "value": round(ms_bear, 2),
         "unit": "ms/frame",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
@@ -239,12 +300,13 @@ def main():
     # Skippable for quick runs: BENCH_FAST=1 prints only the headline config.
     if not fast:
         garden = load_scene_high_n()
-        ms_garden, info_garden = bench_scene(garden, k_hi=25)
+        ms_garden, info_garden = bench_scene(garden, k_hi=25, roofline=True)
         result["garden_high_n"] = {
-            "gaussians": int(garden[0].shape[0]),
+            "gaussians": int(garden.params.capacity),
             "intersections": int(info_garden["n_isects"]),
             "ms_per_frame": round(ms_garden, 2),
             "mpix_s": round(S * S / (ms_garden / 1e3) / 1e6, 1),
+            "roofline": info_garden["roofline"],
         }
 
     print(json.dumps(result))

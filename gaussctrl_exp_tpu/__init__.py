@@ -32,6 +32,27 @@ def _ensure_tpu_flags() -> None:
     cur = _os.environ.get("LIBTPU_INIT_ARGS", "")
     if flag not in cur:
         _os.environ["LIBTPU_INIT_ARGS"] = (cur + f" {flag}=65536").strip()
+        # the append is silently ineffective if a TPU client already exists
+        # (the flag is read at client creation) — make that case detectable
+        import sys as _sys
+
+        jax_mod = _sys.modules.get("jax")
+        if jax_mod is not None:
+            try:
+                import jax._src.xla_bridge as _xb
+
+                if getattr(_xb, "_backends", None):
+                    import warnings
+
+                    warnings.warn(
+                        "gaussctrl_exp_tpu imported after a JAX backend was "
+                        f"created: {flag} will not take effect; import the "
+                        "package before the first JAX computation to avoid "
+                        "VMEM spills in the blend backward kernel",
+                        stacklevel=3,
+                    )
+            except Exception:
+                pass
 
 
 _ensure_tpu_flags()

@@ -24,9 +24,53 @@ import jax.numpy as jnp
 
 Processor = Callable[..., jnp.ndarray]
 
+# Fused (flash) self-attention threshold: sequences at least this long go
+# through the Pallas online-softmax kernel on TPU. The UNet's 64²-latent
+# self-attention (S=4096) otherwise materializes (B, H, 4096, 4096) logits —
+# ~4.8 GB of HBM traffic per layer at the CFG-18 edit batch — which dominates
+# the measured 260 ms denoise step (BASELINE.md). Short sequences (16²/8²
+# levels, 77-token text cross-attn) stay on the XLA path where fusion is fine.
+FLASH_MIN_SEQ = 1024
+_FLASH_BLOCK = 512
+
+
+def _flash_sdpa(q, k, v):
+    """Pallas TPU flash attention; pads head_dim to the 128-lane width (free on
+    the MXU — the contraction dim is padded to 128 in hardware anyway; zero
+    padding leaves logits unchanged and the padded output cols are sliced)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    B, H, S, D = q.shape
+    T = k.shape[2]
+    scale = D**-0.5
+    Dp = max(128, (D + 127) // 128 * 128)
+    if Dp != D:
+        pad = ((0, 0), (0, 0), (0, 0), (0, Dp - D))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    bq = min(_FLASH_BLOCK, S)
+    bkv = min(_FLASH_BLOCK, T)
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv, block_k_dkv=bkv,
+        block_q_dkv=bq, block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
+    )
+    out = flash_attention(q, k, v, causal=False, sm_scale=scale, block_sizes=sizes)
+    return out[..., :D]
+
+
+def _use_flash(q, k) -> bool:
+    if q.shape[2] < FLASH_MIN_SEQ or k.shape[2] % _FLASH_BLOCK:
+        return False
+    return jax.default_backend() not in ("cpu",)  # Mosaic needs a real TPU
+
 
 def _sdpa(q, k, v):
     """(B, H, S, D) scaled dot-product attention (fp32 softmax)."""
+    if _use_flash(q, k):
+        return _flash_sdpa(q, k, v)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * scale
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)

@@ -186,6 +186,7 @@ def make_train_step(cfg: TrainConfig, optimizer=None, lpips=None):
             total_sq = total_sq + sq
         metrics["Gradients/Total"] = jnp.sqrt(total_sq)
         metrics["n_isects"] = out.render.bins.n_isects
+        metrics["n_aligned"] = out.render.bins.n_aligned
         return new_state, metrics
 
     return train_step
@@ -251,19 +252,28 @@ class Trainer:
         # truncating intersections
         self._check_rebucket = True
 
-    def _maybe_rebucket(self, n_isects: int) -> bool:
+    def _maybe_rebucket(self, n_isects: int, n_aligned: int = 0) -> bool:
         """Grow the static isect bucket when the scene approaches/exceeds it.
 
         Returns True when the jitted step was rebuilt at a larger capacity.
         Threshold 0.92: re-bucket BEFORE truncation (estimate_capacity's 1.08
-        bench slack would already be eaten at that point)."""
+        bench slack would already be eaten at that point). A host-estimated
+        ``aligned_capacity`` that the scene outgrows falls back to the safe
+        worst case (None) in the same rebuild."""
         cap = self.cfg.model.render.isect_capacity
-        if not self.auto_rebucket or n_isects <= int(cap * 0.92):
+        acap = self.cfg.model.render.aligned_capacity
+        aligned_over = acap is not None and n_aligned > int(acap * 0.92)
+        if not self.auto_rebucket or (n_isects <= int(cap * 0.92) and not aligned_over):
             return False
         from ..ops.binning import round_capacity
 
-        new_cap = round_capacity(max(n_isects, cap + 1), slack=1.5)
-        render_cfg = dataclasses.replace(self.cfg.model.render, isect_capacity=new_cap)
+        new_cap = cap if n_isects <= int(cap * 0.92) else round_capacity(
+            max(n_isects, cap + 1), slack=1.5
+        )
+        render_cfg = dataclasses.replace(
+            self.cfg.model.render, isect_capacity=new_cap,
+            aligned_capacity=None if aligned_over else acap,
+        )
         model_cfg = dataclasses.replace(self.cfg.model, render=render_cfg)
         self.cfg = dataclasses.replace(self.cfg, model=model_cfg)
         self.train_step = make_train_step(self.cfg, self.optimizer, lpips=self.lpips)
@@ -315,11 +325,12 @@ class Trainer:
 
             if self._check_rebucket:
                 self._check_rebucket = False
-                self._maybe_rebucket(int(jax.device_get(metrics["n_isects"])))
+                self._maybe_rebucket(int(jax.device_get(metrics["n_isects"])),
+                                     int(jax.device_get(metrics["n_aligned"])))
 
             if self.step % log_every == 0 or self.step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                self._maybe_rebucket(int(m["n_isects"]))
+                self._maybe_rebucket(int(m["n_isects"]), int(m["n_aligned"]))
                 m["step"] = self.step
                 m["n_alive"] = int(jax.device_get(jnp.sum(self.state.alive)))
                 # device-memory scalar (reference: GPU Memory (MB),

@@ -78,6 +78,7 @@ class TileBins(NamedTuple):
     chunk_cnt: jnp.ndarray  # (nc,) owning tile's isect count
     aligned_rank: jnp.ndarray  # (aligned_capacity,) rank per aligned slot (N = pad)
     n_isects: jnp.ndarray  # () total intersections actually generated
+    n_aligned: jnp.ndarray  # () aligned slots actually needed (incl. padding)
     capacity: int
     aligned_capacity: int
 
@@ -87,7 +88,15 @@ def bin_gaussians(
     tiles_x: int,
     tiles_y: int,
     capacity: int,
+    aligned_capacity: int | None = None,
 ) -> TileBins:
+    """``aligned_capacity``: optional static size of the CHUNK-aligned stream.
+    Defaults to the data-independent worst case ``_aligned_capacity`` (never
+    overflows). A host-measured tighter bound (``estimate_aligned_capacity``)
+    cuts the pad slack the sorts/kernels stream over by ~25% at bear scale;
+    overflow is then possible and REPORTED via ``n_aligned`` vs
+    ``aligned_capacity`` (same contract as ``n_isects`` vs ``capacity`` —
+    the trainer re-buckets, nothing silently truncates unmonitored)."""
     depths = proj.depths
     N = depths.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -155,7 +164,9 @@ def bin_gaussians(
     # one tile are consecutive; tiles of one GROUP are consecutive; each
     # group's chunk count is padded to a multiple of SUPER so a grid step
     # (SUPER chunks) never crosses a group boundary.
-    aligned_capacity = _aligned_capacity(capacity, num_tiles)
+    if aligned_capacity is None:
+        aligned_capacity = _aligned_capacity(capacity, num_tiles)
+    assert aligned_capacity % (SUPER * ALIGN) == 0, "aligned_capacity granularity"
     n_groups = (num_tiles + GROUP - 1) // GROUP
     aligned_cnt = ((tile_cnt + ALIGN - 1) // ALIGN) * ALIGN
     chunks_t = aligned_cnt // ALIGN  # (T,)
@@ -238,6 +249,7 @@ def bin_gaussians(
         chunk_cnt=chunk_cnt,
         aligned_rank=aligned_rank,
         n_isects=total,
+        n_aligned=(group_start[-1] + group_padded[-1]) * ALIGN,
         capacity=capacity,
         aligned_capacity=aligned_capacity,
     )
@@ -260,6 +272,27 @@ def round_capacity(total_isects: int, slack: float = 1.5, minimum: int = 1 << 14
     cap = max(minimum, int(total_isects * slack))
     g = 1 << 14
     return (cap + g - 1) // g * g
+
+
+def estimate_aligned_capacity(
+    proj: ProjectedGaussians, tiles_x: int, tiles_y: int, capacity: int,
+    slack: float = 1.15,
+) -> int:
+    """Host-side: measure the aligned-slot need of THIS scene/camera and pick
+    a static aligned capacity with headroom (multiple of SUPER·ALIGN).
+
+    The data-independent worst case pads every tile by up to a full chunk
+    (~40% slack at bear scale); one measured binning pass cuts that to
+    ``slack``. Per-step drift is small (tile occupancy changes slowly), and
+    overflow is reported via ``TileBins.n_aligned`` for re-bucketing."""
+    bins = jax.jit(bin_gaussians, static_argnums=(1, 2, 3))(
+        proj, tiles_x, tiles_y, capacity
+    )
+    need = int(jax.device_get(bins.n_aligned))
+    q = SUPER * ALIGN
+    cap = int(need * slack)
+    cap = (cap + q - 1) // q * q
+    return min(cap, _aligned_capacity(capacity, tiles_x * tiles_y))
 
 
 def estimate_capacity(num_tiles_hit: jnp.ndarray, slack: float = 1.5, minimum: int = 1 << 14) -> int:

@@ -31,6 +31,9 @@ class RenderConfig:
     """Static rasterization configuration (part of the jit cache key)."""
 
     isect_capacity: int = 1 << 16  # static cap on gaussian-tile intersections
+    # optional host-estimated cap on the CHUNK-aligned stream (None = safe
+    # worst case); see ops/binning.py estimate_aligned_capacity
+    aligned_capacity: Optional[int] = None
     max_per_tile: int = 512  # per-tile gaussian cap (jnp path only)
     tile_chunk: int = 32  # tiles blended per lax.map step (jnp path)
     impl: str = "auto"  # "jnp" | "pallas" | "auto"
@@ -95,7 +98,9 @@ def render(
         extra_mask=extra_mask,
         opacities=opacities.reshape(-1),
     )
-    bins = bin_gaussians(proj, tiles_x, tiles_y, cfg.isect_capacity)
+    bins = bin_gaussians(
+        proj, tiles_x, tiles_y, cfg.isect_capacity, cfg.aligned_capacity
+    )
 
     xys = proj.xys if xys_offset is None else proj.xys + xys_offset
     chan = [colors]

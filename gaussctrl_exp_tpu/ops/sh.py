@@ -116,4 +116,8 @@ def eval_sh(
     idx = jnp.arange(K)
     lvl = jnp.floor(jnp.sqrt(idx.astype(jnp.float32) + 1e-6)).astype(jnp.int32)
     mask = (lvl <= active_degree).astype(basis.dtype)
-    return jnp.einsum("...k,...kc->...c", basis * mask, coeffs)
+    # broadcast-multiply + reduce instead of einsum: a per-N batched (1,K)@(K,3)
+    # einsum lowers to N tiny MXU matmuls (measured ~1.4 ms at N=35k — same
+    # pathology as projection's cov algebra); the elementwise form is VPU work
+    # that XLA fuses, and its VJP to coeffs is an elementwise outer product
+    return jnp.sum((basis * mask)[..., :, None] * coeffs, axis=-2)

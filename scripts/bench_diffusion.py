@@ -53,6 +53,19 @@ def bench(dtype):
 
         return lambda lat0: run(mp, lat0)
 
+    # analytic FLOPs of ONE denoise step from the compiled executable (XLA's
+    # own cost model) — the basis for the MFU figure VERDICT r3 asked for
+    one = jax.jit(lambda mp, l: pipe._eps(l, jnp.full((B,), 500, jnp.int32),
+                                          ctx, hint, 1.0, params=mp))
+    flops = None
+    try:
+        ca = one.lower(mp, lat).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     walls = {}
     for K in (K_LO, K_HI):
         run = make_run(K)
@@ -64,17 +77,19 @@ def bench(dtype):
             best = min(best, time.time() - t0)
         walls[K] = best
     ms = (walls[K_HI] - walls[K_LO]) / (K_HI - K_LO) * 1e3
-    return ms
+    return ms, flops
 
 
 if __name__ == "__main__":
     print(f"views={VIEWS} latent={LAT}² (image {LAT*8}²), CFG batch {2*VIEWS}")
+    PEAK = {"bf16": 197e12, "f32": 49.2e12}  # v5e MXU peaks
     for name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        ms = bench(dt)
+        ms, flops = bench(dt)
         per_view = ms / VIEWS
+        mfu = f", MFU {flops / (ms * 1e-3) / PEAK[name] * 100:.1f}% ({flops/1e12:.2f} TFLOP/step)" if flops else ""
         print(
             f"{name}: {ms:8.1f} ms / denoise step (UNet×2 + ControlNet, "
             f"{per_view:.1f} ms/view); 20+20 DDIM steps ≈ {ms * 40 / 1e3:.1f} s "
-            f"per {VIEWS}-view batch",
+            f"per {VIEWS}-view batch{mfu}",
             flush=True,
         )
