@@ -37,13 +37,13 @@ two narrow ones plus an unsort gather:
      SUPER padding) is pure per-tile arithmetic; per-chunk metadata
      (tile/base/count) comes from one tiny mark + cummax fill.
   6. ``aligned_rank`` — the gaussian rank occupying every aligned slot — is
-     then ARITHMETIC: aligned slot a of chunk c holds tile-sorted slot
-     ``tile_start[tile] + chunk_base[c] + (a mod 128)`` when in range, else
-     pad. One (2, capacity) small-table lane gather realizes it (the 2-row
-     stack dodges the pathological 1-D gather path); this replaced a
-     377k-entry (key, rank) sort over real+pad+group-pad entries (~0.55 ms
-     at bear). The blend kernels then need exactly one
-     (NFIELD, aligned)←(NFIELD, N) small-table gather.
+     realized by a KEY-SORT over real+pad+group-pad entries (~0.55 ms at
+     bear). An arithmetic alternative (one (2, capacity) lane gather at
+     aligned_capacity queries) measured 2.06 ms: capacity-sized tables do
+     not get VMEM residency, so big-query gathers stay latency-bound even
+     at 1.4 MB tables — only ≤N-gaussian tables are the fast path. The
+     blend kernels then need exactly one (NFIELD, aligned)←(NFIELD, N)
+     small-table gather.
      ``aligned_rank`` is also the backward's reduction key: sorting the
      per-slot gradient stream by it groups slots per gaussian with segment
      boundaries at ``cum`` (pre-sort slot order), scatter-free.
@@ -65,6 +65,8 @@ from .scan2d import cummax1d, cumsum1d
 ALIGN = 128  # chunk size of the Pallas blend stream (= blend_pallas.CHUNK)
 GROUP = 8  # tiles per blend-kernel output block (shared VMEM residency)
 SUPER = 4  # chunks per blend-kernel grid step (DMA/step-overhead amortization)
+_HUGE1 = 1 << 26  # sort-to-end key for invalid real slots
+_HUGE2 = 1 << 27  # sort-to-end key for unused pad entries
 
 
 class TileBins(NamedTuple):
@@ -190,18 +192,56 @@ def bin_gaussians(
     chunk_base = cids * ALIGN - aligned_start[chunk_tile]  # small gathers (nc from T)
     chunk_cnt = tile_cnt[chunk_tile]
 
-    # 7. aligned_rank ARITHMETICALLY from the chunk metadata (no key-sort):
-    # aligned slot a of chunk c holds tile-sorted slot
-    # ``tile_start[tile] + chunk_base[c] + (a mod 128)`` when that offset is
-    # within the tile's count, else pad (rank N). One (2, capacity) lane
-    # gather (2-row stack dodges the pathological 1-D gather path) replaces
-    # the former 377k-entry (key, rank) sort over real+pad+group-pad entries.
-    start_c = tile_start[chunk_tile] + chunk_base  # (nc,) tiny gathers
-    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]
-    src = jnp.clip((start_c[:, None] + j).reshape(-1), 0, capacity - 1)
-    valid_a = ((chunk_base[:, None] + j) < chunk_cnt[:, None]).reshape(-1)
-    sr2 = jnp.stack([sorted_rank, sorted_rank])
-    aligned_rank = jnp.where(valid_a, sr2[:, src][0], N)
+    # 7. aligned_rank via KEY-SORT (measured: a (2, capacity)-table gather at
+    # aligned_capacity queries costs 2.06 ms at bear — capacity-sized tables
+    # do NOT get VMEM residency, so the 377k-entry sort at 0.55 ms wins):
+    # per-sorted-slot pad offset δ = aligned_start − tile_start, monotone in
+    # tile id → mark at tile_start, cummax fill (collisions resolve to the
+    # owning non-empty tile, which has the largest id and largest δ)
+    delta = aligned_start - tile_start  # (T,)
+    delta_fill = cummax1d(
+        jnp.zeros(capacity, jnp.int32).at[tile_start].max(delta, mode="drop")
+    )
+    fwdmap = slots + delta_fill  # aligned position of each tile-sorted slot
+    sorted_valid = slots < jnp.minimum(total, capacity)
+    real_key = jnp.where(sorted_valid, fwdmap, _HUGE1 + slots)
+    real_rank = jnp.where(sorted_valid, sorted_rank, N)
+
+    # 128 potential pad entries per tile; the first (aligned_cnt − cnt) land
+    # in the tail of the tile's last chunk, the rest sort past everything
+    j = jnp.arange(ALIGN, dtype=jnp.int32)[None, :]  # (1, 128)
+    padcnt = (aligned_cnt - tile_cnt)[:, None]  # (T, 1)
+    pad_key = jnp.where(
+        j < padcnt,
+        (aligned_start + tile_cnt)[:, None] + j,
+        _HUGE2 + tids[:, None] * ALIGN + j,
+    ).reshape(-1)
+    # SUPER·128 potential pad entries per GROUP; the first
+    # (group_padded − group_chunks)·128 fill the group's whole-chunk pads,
+    # the rest sort past everything (the extra width also guarantees enough
+    # entries to fill the static aligned_capacity when it exceeds the need)
+    jg = jnp.arange(SUPER * ALIGN, dtype=jnp.int32)[None, :]
+    gpadcnt = ((group_padded - group_chunks) * ALIGN)[:, None]  # (n_groups, 1)
+    gids = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+    gpad_key = jnp.where(
+        jg < gpadcnt,
+        ((group_start + group_chunks) * ALIGN)[:, None] + jg,
+        _HUGE2 + (num_tiles + gids) * (SUPER * ALIGN) + jg,
+    ).reshape(-1)
+    all_keys = jnp.concatenate([real_key, pad_key, gpad_key])
+    all_ranks = jnp.concatenate(
+        [real_rank, jnp.full(pad_key.shape, N, jnp.int32), jnp.full(gpad_key.shape, N, jnp.int32)]
+    )
+    shortfall = aligned_capacity - all_keys.shape[0]  # static; >0 only for tiny grids
+    if shortfall > 0:
+        all_keys = jnp.concatenate(
+            [all_keys, _HUGE2 + (1 << 22) + jnp.arange(shortfall, dtype=jnp.int32)]
+        )
+        all_ranks = jnp.concatenate([all_ranks, jnp.full(shortfall, N, jnp.int32)])
+    _, aligned_rank = jax.lax.sort(
+        (all_keys, all_ranks), num_keys=1, is_stable=True
+    )
+    aligned_rank = aligned_rank[:aligned_capacity]  # rank per aligned slot, N = pad
 
     return TileBins(
         order=order,

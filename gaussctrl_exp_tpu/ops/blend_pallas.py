@@ -288,14 +288,20 @@ def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
     # group blocks (n_groups, GP, 16) → per-tile (num_tiles, P, 16); groups
     # are contiguous runs of GROUP tiles so this is a pure reshape
     out_tiles = out_groups.reshape(-1, P, 16)[: tiles_y * tiles_x]
-    # tiles with zero chunks were never visited: force img=0, T=1 there
-    empty = (tile_cnt == 0)[:, None, None]
-    img = jnp.where(empty, 0.0, out_tiles[:, :, :n_chan])
-    T = jnp.where(empty[:, :, 0], 1.0, out_tiles[:, :, 7])
-    img = img.reshape(tiles_y, tiles_x, BLOCK, BLOCK, n_chan)
+    img = out_tiles[:, :, :n_chan].reshape(tiles_y, tiles_x, BLOCK, BLOCK, n_chan)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * BLOCK, tiles_x * BLOCK, n_chan)
-    T = T.reshape(tiles_y, tiles_x, BLOCK, BLOCK)
+    T = out_tiles[:, :, 7].reshape(tiles_y, tiles_x, BLOCK, BLOCK)
     T = T.transpose(0, 2, 1, 3).reshape(tiles_y * BLOCK, tiles_x * BLOCK)
+    # tiles with zero chunks were never visited (their blocks hold garbage):
+    # force img=0, T=1 — masked in IMAGE layout (128-lane minor dim); doing
+    # this on the (·, P, 16) tile layout cost ~0.8 ms of 16-lane selects and
+    # layout copies in the op profile
+    empty = jnp.broadcast_to(
+        (tile_cnt == 0).reshape(tiles_y, 1, tiles_x, 1),
+        (tiles_y, BLOCK, tiles_x, BLOCK),
+    ).reshape(tiles_y * BLOCK, tiles_x * BLOCK)
+    img = jnp.where(empty[..., None], 0.0, img)
+    T = jnp.where(empty, 1.0, T)
     return img[:H, :W], T[:H, :W]
 
 
