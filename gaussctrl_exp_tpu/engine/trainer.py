@@ -43,10 +43,12 @@ class TrainConfig:
     densify: DensifyConfig = DensifyConfig()
     model: SplatModelConfig = SplatModelConfig()
     seed: int = 42
-    # patch LPIPS term (reference gc_model.py:63-69: use_lpips=True,
-    # patch_size 32, lpips_loss_mult 1.0); needs pretrained weights passed to
-    # the Trainer/make_train_step, so default off
-    use_lpips: bool = False
+    # patch LPIPS term — reference-default ON (gc_model.py:63-69:
+    # use_lpips=True, patch_size 32, lpips_loss_mult 1.0). The term needs
+    # pretrained VGG weights passed as ``lpips=`` to Trainer/make_train_step
+    # (ops.lpips.load_lpips); when none are attached the step DOWNGRADES
+    # with a loud warning instead of silently diverging from the reference.
+    use_lpips: bool = True
     patch_size: int = 32
     lpips_loss_mult: float = 1.0
     lpips_patches: int = 8  # random patches sampled per step
@@ -120,6 +122,16 @@ def make_train_step(cfg: TrainConfig, optimizer=None, lpips=None):
     enabling the reference's patch-LPIPS loss term when cfg.use_lpips."""
     optimizer = optimizer or make_gaussian_optimizer(max_steps=cfg.max_steps)
     cam_optimizer = make_camera_optimizer(cfg) if cfg.camera_opt else None
+    if cfg.use_lpips and lpips is None:
+        import warnings
+
+        warnings.warn(
+            "use_lpips=True (the reference default, gc_model.py:63-69) but no "
+            "VGG/LPIPS weights were attached — training proceeds with "
+            "L1+SSIM only. Pass lpips=ops.lpips.load_lpips(...) to enable "
+            "the reference's patch-LPIPS term.",
+            stacklevel=2,
+        )
 
     @jax.jit
     def train_step(state: TrainState, camera: Camera, gt: jnp.ndarray, view_idx=0):

@@ -130,6 +130,14 @@ def main():
             print(f"{name}: D={D:2d} all-gather {ag:5.2f} ms + reduce-scatter "
                   f"{rs:5.2f} ms -> projected efficiency {eff:.2f}")
 
+    # the BASELINE axis is 2 HOSTS (16 chips vs 8, one v5e pod, all-ICI):
+    ov = ms_shard - ms_plain
+    for name, t1 in (("bear-honest 9.2ms", 9.2), ("garden 31ms", 31.0)):
+        t8 = t1 / 8 + ov + 0.2
+        t16 = t1 / 16 + ov + 0.3
+        print(f"2-host efficiency ({name}): t8={t8:.2f} t16={t16:.2f} "
+              f"eff(8->16)={t8/(2*t16):.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -384,3 +384,21 @@ def test_rebucket_unit():
     assert trainer.cfg.model.render.isect_capacity >= 4000
     assert trainer.train_step is not old_step
     trainer.train(1, log_every=1)  # rebuilt step still runs
+
+
+def test_lpips_default_on_with_downgrade_warning():
+    """use_lpips defaults True (reference parity, gc_model.py:63-69); with no
+    VGG weights attached the step warns and downgrades to L1+SSIM."""
+    import warnings
+
+    assert TrainConfig().use_lpips is True
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_train_step(TrainConfig())
+    assert any("no VGG/LPIPS weights" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        from gaussctrl_exp_tpu.ops.lpips import lpips_random
+
+        make_train_step(TrainConfig(), lpips=lpips_random())
+    assert not any("no VGG/LPIPS weights" in str(x.message) for x in w)
