@@ -259,18 +259,77 @@ def bench_scene(gs: GaussianState, k_hi=K, roofline=False):
             walls[Ki] = best
         return (walls[k_hi_] - walls[5]) / (k_hi_ - 5) * 1e3
 
+    def through_kernels(params):
+        """pre_blend + fwd/bwd Pallas kernels with fixed cotangents, WITHOUT
+        the slot→gaussian reduction: isolates the kernels proper so the
+        roofline ratio compares like with like (the analytic bound models
+        only the kernel streams, not the reduction machinery around them)."""
+        from gaussctrl_exp_tpu.models.splat_model import model_colors
+        from gaussctrl_exp_tpu.ops import blend_pallas as bp
+
+        vm, pm, fm = camera_matrices(cam)
+        colors = model_colors(params, cam, step, cfg)
+        p = project_gaussians(
+            params.means, jnp.exp(params.scales), 1.0, params.quats, vm, fm,
+            cam.fx, cam.fy, cam.cx, cam.cy, S, S,
+            opacities=jax.nn.sigmoid(params.opacities[:, 0]),
+        )
+        b = bin_gaussians(p, tx, ty, CAP, ACAP)
+        ba = bp._bins_tuple(b)
+        opacs = jax.nn.sigmoid(params.opacities[:, 0])
+        (img, finalT), (vals, out_groups) = bp._blend_fwd_impl(
+            p.xys, p.conics, colors, opacs, ba, S, S, CAP, ACAP, False
+        )
+        # bwd kernel with fixed cotangents, reduction skipped
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n_chan = colors.shape[1]
+        ns = ACAP // (bp.SUPER * bp.CHUNK)
+        gout = bp._image_to_tiles(img * 0.5, finalT * 0.1, ty, tx, n_chan)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ns,),
+            in_specs=[
+                pl.BlockSpec((bp.NFIELD, bp.SUPER * bp.CHUNK),
+                             lambda s, ct, cb, cc_: (0, s), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bp.GP, 16),
+                             lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bp.GP, 16),
+                             lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bp.NFIELD, bp.SUPER * bp.CHUNK),
+                                   lambda s, ct, cb, cc_: (0, s), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bp.GP, 8), jnp.float32),
+                            pltpu.SMEM((bp.GROUP,), jnp.int32)],
+        )
+        slot_grads = pl.pallas_call(
+            ft.partial(bp._bwd_kernel, tiles_x=tx, n_chan=n_chan),
+            out_shape=jax.ShapeDtypeStruct((bp.NFIELD, ACAP), jnp.float32),
+            grid_spec=grid_spec,
+        )(b.chunk_tile, b.chunk_base, b.chunk_cnt, vals, out_groups, gout)
+        return jnp.full((2, 2), jnp.sum(slot_grads[:2, :4]) * 1e-6 + jnp.sum(img[:2, :2]) * 1e-9)
+
     ms = slope(lambda p: train_grads(p) * 1e-6)
     info = {"n_isects": n_isects, "capacity": CAP, "aligned_capacity": ACAP,
             "tiles": tx * ty}
     if roofline:
         pre_ms = slope(lambda p: jnp.full((2, 2), pre_blend(p)))
+        kern_ms = slope(through_kernels)
         blend_ms = max(ms - pre_ms, 1e-3)
+        kernels_ms = max(kern_ms - pre_ms, 1e-3)
         bound = roofline_blend_ms(n_isects, ACAP, tx * ty)
         info["roofline"] = {
             **bound,
-            "measured_blend_fwd_bwd_ms": round(blend_ms, 2),
+            "kernels_fwd_bwd_ms": round(kernels_ms, 2),
+            "vs_roofline_kernels": round(kernels_ms / bound["fwd_bwd_ms"], 2),
+            "blend_stage_ms": round(blend_ms, 2),
+            "vs_roofline_stage": round(blend_ms / bound["fwd_bwd_ms"], 2),
             "pre_blend_ms": round(pre_ms, 2),
-            "vs_roofline": round(blend_ms / bound["fwd_bwd_ms"], 2),
         }
     return ms, info
 

@@ -72,6 +72,9 @@ _HUGE2 = 1 << 27  # sort-to-end key for unused pad entries
 class TileBins(NamedTuple):
     order: jnp.ndarray  # (N,) gaussian index by ascending depth (culled last)
     inv_order: jnp.ndarray  # (N,) depth rank of each gaussian (inverse of order)
+    hi_orig: jnp.ndarray  # (N,) last slot of each gaussian's segment, orig order
+    cum_orig: jnp.ndarray  # (N,) exclusive segment start, orig order
+    nt_orig: jnp.ndarray  # (N,) tile hits, orig order
     cum: jnp.ndarray  # (N,) exclusive cumsum of tile hits in rank order
     nt_sorted: jnp.ndarray  # (N,) tile hits in rank order
     sorted_rank: jnp.ndarray  # (capacity,) rank per tile-sorted slot
@@ -119,9 +122,16 @@ def bin_gaussians(
     )
     cum = cumsum1d(nt_sorted) - nt_sorted  # exclusive cumsum (blocked scan)
     total = cum[-1] + nt_sorted[-1]
-    # inverse permutation (gaussian → depth rank): one 2-row sort; the blend
-    # backward's final rank→original unsort is a small lane gather with this
-    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1)
+    # inverse permutation (gaussian → depth rank) CARRYING the blend
+    # backward's segment descriptors (hi slot, exclusive start, count) into
+    # original-gaussian order: the backward then does exactly two N-query
+    # gathers from its prefix table and no unsort (gathers are per-QUERY
+    # latency-bound — ~4.5 ns/query regardless of row width — so shaving
+    # query count is the only lever that moves them)
+    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, jnp.maximum(capacity - 1, 0))
+    _, inv_order, hi_orig, cum_orig, nt_orig = jax.lax.sort(
+        (order, iota_n, hi_idx, cum, nt_sorted), num_keys=1
+    )
 
     # fused small-table row block, BIT-PACKED to 2 rows (halves the gather):
     # row0 = x0 | y0<<12; row1 = bw | cum<<bits_bw
@@ -246,6 +256,9 @@ def bin_gaussians(
     return TileBins(
         order=order,
         inv_order=inv_order,
+        hi_orig=hi_orig,
+        cum_orig=cum_orig,
+        nt_orig=nt_orig,
         cum=cum,
         nt_sorted=nt_sorted,
         sorted_rank=sorted_rank,

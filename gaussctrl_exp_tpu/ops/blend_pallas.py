@@ -63,7 +63,9 @@ GP = GROUP * P  # pixels per output block (GROUP tiles resident together)
 
 
 def _pack_fields(xys, conics, colors, opacs) -> jnp.ndarray:
-    """Per-gaussian data (N, ·) → (NFIELD, N) field-major array."""
+    """Per-gaussian data (N, ·) → (6+C, N) field-major array (live rows only;
+    the NFIELD pad happens AFTER the aligned expand gather — gathering dead
+    rows costs 7/16 of the dominant gather, ~1.7 ms at garden scale)."""
     C = colors.shape[1]
     assert C <= 8, "at most 8 blend channels"
     rows = [
@@ -74,8 +76,7 @@ def _pack_fields(xys, conics, colors, opacs) -> jnp.ndarray:
         conics[:, 2],
         opacs,
     ] + [colors[:, i] for i in range(C)]
-    data = jnp.stack(rows, axis=0)  # (6+C, N)
-    return jnp.pad(data, ((0, NFIELD - data.shape[0]), (0, 0)))
+    return jnp.stack(rows, axis=0)  # (6+C, N)
 
 
 def _pixel_coords(t, tiles_x):
@@ -329,9 +330,9 @@ def _image_to_tiles(img, finalT, tiles_y, tiles_x, n_chan):
 def _bins_tuple(bins: TileBins):
     return (
         bins.order,
-        bins.inv_order,
-        bins.cum,
-        bins.nt_sorted,
+        bins.hi_orig,
+        bins.cum_orig,
+        bins.nt_orig,
         bins.tile_cnt,
         bins.chunk_tile,
         bins.chunk_base,
@@ -359,7 +360,7 @@ def _blend_core(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned
 
 
 def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned_capacity, interpret):
-    order, inv_order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
+    order, hi_orig, cum_orig, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
@@ -370,10 +371,14 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
     # rank-major fields with one extra zero column at index N: aligned_rank
     # uses rank N as the pad sentinel, so pads gather zeros (then the kernel's
     # slot<cnt mask drops them anyway). Both gathers read small (N-lane)
-    # tables — the measured fast path.
-    packed_rank = _pack_fields(xys, conics, colors, opacs)[:, order]  # (16, N)
+    # tables — the measured fast path. Only the 6+C live rows are gathered;
+    # the NFIELD zero-pad is appended afterwards (bandwidth-trivial).
+    packed_rank = _pack_fields(xys, conics, colors, opacs)[:, order]  # (6+C, N)
     fr = jnp.pad(packed_rank, ((0, 0), (0, 1)))
-    vals = fr[:, aligned_rank]  # (16, aligned_cap) small-table lane gather
+    vals_live = fr[:, aligned_rank]  # (6+C, aligned_cap) lane gather
+    # (gathers are query-latency-bound, so the row count barely matters; the
+    # pad may fuse into the gather — measured cost-neutral either way)
+    vals = jnp.pad(vals_live, ((0, NFIELD - vals_live.shape[0]), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -408,7 +413,7 @@ def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
 def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     vals, out_groups, bins_arrays, N = res
-    order, inv_order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
+    order, hi_orig, cum_orig, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
     g_img, g_finalT = cots
     n_chan = g_img.shape[-1]
     tiles_x = (W + BLOCK - 1) // BLOCK
@@ -464,12 +469,16 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     # N-sort + (nrow, 2N) gather (measured 0.46 vs 0.60 ms at bear scale,
     # scripts/bench_reduction_micro.py). The rank→original unsort is a small
     # (nrow, N)←(nrow, N) lane gather with the precomputed inverse perm.
+    # per-gaussian segment sums straight into ORIGINAL order: the segment
+    # descriptors (hi/cum/nt) were carried through binning's inverse sort, so
+    # this is exactly TWO N-query gathers from the prefix table — gathers are
+    # per-query latency-bound (~4.5 ns/query, width-independent), so the
+    # query count is the whole cost; no rank-order intermediate, no unsort
     prefix = cumsum_rows(sg_slot)  # (nrow, cap), blocked two-level scan
-    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, cap - 1)  # ascending
-    ends = prefix[:, hi_idx]  # (nrow, N)
-    g_rank = ends - jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))
-    g_rank = jnp.where((nt_sorted > 0)[None, :], g_rank, 0.0)
-    g_orig = g_rank[:, inv_order]  # (nrow, N), original gaussian order
+    hi_vals = prefix[:, hi_orig]  # (nrow, N)
+    lo_vals = prefix[:, jnp.clip(cum_orig - 1, 0, cap - 1)]
+    lo_vals = jnp.where((cum_orig > 0)[None, :], lo_vals, 0.0)
+    g_orig = jnp.where((nt_orig > 0)[None, :], hi_vals - lo_vals, 0.0)
 
     d_xys = jnp.stack([g_orig[0], g_orig[1]], axis=-1)
     d_conics = jnp.stack([g_orig[2], g_orig[3], g_orig[4]], axis=-1)

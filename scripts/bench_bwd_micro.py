@@ -79,7 +79,7 @@ def fwd_only(m):
 def _bwd_pieces(m, upto):
     out, res, ba, bins = _setup(m)
     vals, out_tiles, bins_arrays, Nn = res
-    order, inv_order, cum, nt_sorted, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = ba
+    order, hi_orig, cum_orig, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = ba
     import functools
 
     from jax.experimental import pallas as pl
@@ -126,11 +126,10 @@ def _bwd_pieces(m, upto):
     if upto == 2:
         return prefix[:2, -2:]
 
-    hi_idx = jnp.clip(cum + nt_sorted - 1, 0, CAP - 1)
-    ends = prefix[:, hi_idx]
-    g_rank = ends - jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))
-    g_rank = jnp.where((nt_sorted > 0)[None, :], g_rank, 0.0)
-    g_orig = g_rank[:, inv_order]
+    hi_vals = prefix[:, hi_orig]
+    lo_vals = prefix[:, jnp.clip(cum_orig - 1, 0, CAP - 1)]
+    lo_vals = jnp.where((cum_orig > 0)[None, :], lo_vals, 0.0)
+    g_orig = jnp.where((nt_orig > 0)[None, :], hi_vals - lo_vals, 0.0)
     return g_orig[:2, :2]
 
 

@@ -123,8 +123,10 @@ def check_overfit_psnr() -> None:
     out = render_model(GaussianState(state.params, state.alive), cam, jnp.int32(30_000), mcfg)
     psnr1 = float(psnr_fn(jnp.clip(out.rgb, 0, 1), target))
     print(f"[hw_gate] overfit PSNR {psnr0:.2f} -> {psnr1:.2f} dB (200 steps)")
-    assert psnr1 > psnr0 + 3.0, f"training did not improve PSNR: {psnr0} -> {psnr1}"
-    assert psnr1 >= 28.0, f"PSNR floor missed: {psnr1:.2f} < 28 dB"
+    # measured healthy run: 32.2 -> 38.1 dB; a numeric regression that
+    # compiles (half-broken grads, wrong loss scale) stalls the recovery
+    assert psnr1 > psnr0 + 4.0, f"training did not improve PSNR: {psnr0} -> {psnr1}"
+    assert psnr1 >= 35.0, f"PSNR floor missed: {psnr1:.2f} < 35 dB"
 
 
 def _write_stamp() -> None:

@@ -20,7 +20,7 @@ from gaussctrl_exp_tpu.ops.renderer import RenderConfig
 from gaussctrl_exp_tpu.ops.ssim import splatfacto_loss
 
 S = BM.S
-gs = BM.load_scene()
+gs = BM.load_scene_high_n() if len(sys.argv) > 1 and sys.argv[1] == "garden" else BM.load_scene()
 cam = make_camera(
     look_at(np.array([0.0, -4.0, 0.0]), np.zeros(3)),
     fx=S * 1.05, fy=S * 1.05, cx=S / 2, cy=S / 2, width=S, height=S,

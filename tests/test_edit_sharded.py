@@ -72,6 +72,8 @@ def test_sharded_processor_matches_unsharded(pipe):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # 28 s; the processor-level parity test above covers the
+# collective math and dryrun_multichip runs this integration each round
 def test_sharded_generate_matches_single_device(pipe):
     lat, ctx_c, ctx_u, hint = _inputs()
     single = pipe.generate(
