@@ -298,7 +298,7 @@ def bench_scene(gs: GaussianState, k_hi=K, roofline=False):
                 pl.BlockSpec((1, bp.GP, 16),
                              lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bp.GP, 16),
+                pl.BlockSpec((1, bp.GP, 8),
                              lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -285,6 +285,29 @@ def _bwd_kernel(
             done_s[row] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
+@jax.custom_vjp
+def _mask_fwd_only(x, empty, fill):
+    """``where(empty, fill, x)`` with an IDENTITY backward.
+
+    Empty tiles' blocks hold uninitialized kernel-output memory, so the
+    forward select is mandatory — but zeroing their cotangents is pure waste:
+    the bwd kernel never reads gout rows of chunk-less tiles. XLA lowered the
+    where's backward as a (n_groups, GP, 16) tile-layout select + mask
+    re-tiling (~0.9 ms/step measured); the identity VJP deletes it."""
+    return jnp.where(empty, fill, x)
+
+
+def _mask_fwd_only_fwd(x, empty, fill):
+    return jnp.where(empty, fill, x), None
+
+
+def _mask_fwd_only_bwd(_, g):
+    return g, None, None
+
+
+_mask_fwd_only.defvjp(_mask_fwd_only_fwd, _mask_fwd_only_bwd)
+
+
 def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
     # group blocks (n_groups, GP, 16) → per-tile (num_tiles, P, 16); groups
     # are contiguous runs of GROUP tiles so this is a pure reshape
@@ -301,12 +324,16 @@ def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
         (tile_cnt == 0).reshape(tiles_y, 1, tiles_x, 1),
         (tiles_y, BLOCK, tiles_x, BLOCK),
     ).reshape(tiles_y * BLOCK, tiles_x * BLOCK)
-    img = jnp.where(empty[..., None], 0.0, img)
-    T = jnp.where(empty, 1.0, T)
+    img = _mask_fwd_only(img, empty[..., None], 0.0)
+    T = _mask_fwd_only(T, empty, 1.0)
     return img[:H, :W], T[:H, :W]
 
 
 def _image_to_tiles(img, finalT, tiles_y, tiles_x, n_chan):
+    """Cotangent image → (n_groups, GP, 8) tile blocks: cols [0:n_chan) are
+    d/d(img), col 7 is d/d(final_T). 8-wide (not 16): the bwd kernel reads
+    only those columns, and the 16-wide concat measured 2× the assembly
+    cost on the 16-lane minor layout."""
     H, W = finalT.shape
     pad_h, pad_w = tiles_y * BLOCK - H, tiles_x * BLOCK - W
     img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
@@ -316,15 +343,14 @@ def _image_to_tiles(img, finalT, tiles_y, tiles_x, n_chan):
     finalT = finalT.reshape(tiles_y, BLOCK, tiles_x, BLOCK).transpose(0, 2, 1, 3)
     finalT = finalT.reshape(tiles_y * tiles_x, P)
     packed = jnp.concatenate(
-        [img, jnp.zeros((img.shape[0], P, 7 - n_chan)), finalT[..., None],
-         jnp.zeros((img.shape[0], P, 8))],
+        [img, jnp.zeros((img.shape[0], P, 7 - n_chan)), finalT[..., None]],
         axis=-1,
     )
-    # per-tile (num_tiles, P, 16) → group blocks (n_groups, GP, 16)
+    # per-tile (num_tiles, P, 8) → group blocks (n_groups, GP, 8)
     num_tiles = packed.shape[0]
     n_groups = (num_tiles + GROUP - 1) // GROUP
     packed = jnp.pad(packed, ((0, n_groups * GROUP - num_tiles), (0, 0), (0, 0)))
-    return packed.reshape(n_groups, GP, 16)
+    return packed.reshape(n_groups, GP, 8)
 
 
 def _bins_tuple(bins: TileBins):
@@ -420,7 +446,7 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     tiles_y = (H + BLOCK - 1) // BLOCK
     ns = aligned_capacity // (SUPER * CHUNK)
 
-    gout = _image_to_tiles(g_img, g_finalT, tiles_y, tiles_x, n_chan)  # (n_groups, GP, 16)
+    gout = _image_to_tiles(g_img, g_finalT, tiles_y, tiles_x, n_chan)  # (n_groups, GP, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -430,7 +456,7 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 16), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
+            pl.BlockSpec((1, GP, 8), lambda s, ct, cb, cc_: (ct[s * SUPER] // GROUP, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

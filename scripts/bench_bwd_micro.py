@@ -97,7 +97,7 @@ def _bwd_pieces(m, upto):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bp.GP, 16), lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp.GP, 16), lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
+            pl.BlockSpec((1, bp.GP, 8), lambda s, ct, cb, cc_: (ct[s * bp.SUPER] // bp.GROUP, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
