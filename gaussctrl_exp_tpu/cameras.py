@@ -109,7 +109,7 @@ def view_matrix(c2w: jnp.ndarray, gsplat_flip: bool = True) -> jnp.ndarray:
         R = R * jnp.asarray([1.0, -1.0, -1.0])[None, :]
     R_inv = R.T
     t_inv = -R_inv @ t
-    vm = jnp.eye(4, dtype=jnp.float32)
+    vm = jnp.eye(4, dtype=jnp.promote_types(R_inv.dtype, jnp.float32))
     vm = vm.at[:3, :3].set(R_inv)
     vm = vm.at[:3, 3].set(t_inv)
     return vm

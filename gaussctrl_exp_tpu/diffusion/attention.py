@@ -62,9 +62,17 @@ def _flash_sdpa(q, k, v):
 
 
 def _use_flash(q, k) -> bool:
-    if q.shape[2] < FLASH_MIN_SEQ or k.shape[2] % _FLASH_BLOCK:
+    # affirmative TPU gate: the Mosaic kernel lowers only on TPU backends
+    # ("tpu", and the tunneled "axon" device which is a TPU) — any other
+    # backend (cpu, gpu, ...) takes the XLA path
+    if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return jax.default_backend() not in ("cpu",)  # Mosaic needs a real TPU
+    # BlockSizes require both sequence axes to tile evenly by _FLASH_BLOCK
+    return (
+        q.shape[2] >= FLASH_MIN_SEQ
+        and q.shape[2] % _FLASH_BLOCK == 0
+        and k.shape[2] % _FLASH_BLOCK == 0
+    )
 
 
 def _sdpa(q, k, v):

@@ -306,6 +306,16 @@ class Trainer:
             )
             self.step += 1
 
+            # Consume the rebucket flag BEFORE this iteration's refine: the
+            # flag was set by the PREVIOUS iteration's densify, so `metrics`
+            # here are the first post-densify measurement (a check placed
+            # after the refine block would read pre-densify isect counts and
+            # silently truncate until the next boundary)
+            if self._check_rebucket:
+                self._check_rebucket = False
+                self._maybe_rebucket(int(jax.device_get(metrics["n_isects"])),
+                                     int(jax.device_get(metrics["n_aligned"])))
+
             # AFTER_TRAIN_ITERATION callbacks — EXACT splatfacto cadence
             # (nerfstudio splatfacto.refinement_after, inherited by the
             # reference via gc_model.py:31): densify only once every image
@@ -334,11 +344,6 @@ class Trainer:
                     self.state, info = self.refine_step(self.state)  # cull-only
                 if self.step < d.stop_split_at and pos == d.refine_every:
                     self.state = self.reset_opacity_step(self.state)
-
-            if self._check_rebucket:
-                self._check_rebucket = False
-                self._maybe_rebucket(int(jax.device_get(metrics["n_isects"])),
-                                     int(jax.device_get(metrics["n_aligned"])))
 
             if self.step % log_every == 0 or self.step == 1:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -285,29 +285,6 @@ def _bwd_kernel(
             done_s[row] = (jnp.min(done_new) > 0.0).astype(jnp.int32)
 
 
-@jax.custom_vjp
-def _mask_fwd_only(x, empty, fill):
-    """``where(empty, fill, x)`` with an IDENTITY backward.
-
-    Empty tiles' blocks hold uninitialized kernel-output memory, so the
-    forward select is mandatory — but zeroing their cotangents is pure waste:
-    the bwd kernel never reads gout rows of chunk-less tiles. XLA lowered the
-    where's backward as a (n_groups, GP, 16) tile-layout select + mask
-    re-tiling (~0.9 ms/step measured); the identity VJP deletes it."""
-    return jnp.where(empty, fill, x)
-
-
-def _mask_fwd_only_fwd(x, empty, fill):
-    return jnp.where(empty, fill, x), None
-
-
-def _mask_fwd_only_bwd(_, g):
-    return g, None, None
-
-
-_mask_fwd_only.defvjp(_mask_fwd_only_fwd, _mask_fwd_only_bwd)
-
-
 def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
     # group blocks (n_groups, GP, 16) → per-tile (num_tiles, P, 16); groups
     # are contiguous runs of GROUP tiles so this is a pure reshape
@@ -319,13 +296,16 @@ def _tiles_to_image(out_groups, tiles_y, tiles_x, H, W, n_chan, tile_cnt):
     # tiles with zero chunks were never visited (their blocks hold garbage):
     # force img=0, T=1 — masked in IMAGE layout (128-lane minor dim); doing
     # this on the (·, P, 16) tile layout cost ~0.8 ms of 16-lane selects and
-    # layout copies in the op profile
+    # layout copies in the op profile. (These selects run only inside
+    # _blend_core's custom_vjp forward, whose internals are never
+    # differentiated — the bwd consumes cotangents directly — so a plain
+    # where carries no backward cost.)
     empty = jnp.broadcast_to(
         (tile_cnt == 0).reshape(tiles_y, 1, tiles_x, 1),
         (tiles_y, BLOCK, tiles_x, BLOCK),
     ).reshape(tiles_y * BLOCK, tiles_x * BLOCK)
-    img = _mask_fwd_only(img, empty[..., None], 0.0)
-    T = _mask_fwd_only(T, empty, 1.0)
+    img = jnp.where(empty[..., None], 0.0, img)
+    T = jnp.where(empty, 1.0, T)
     return img[:H, :W], T[:H, :W]
 
 
@@ -488,13 +468,6 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     )
     sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (nrow, cap)
 
-    # per-gaussian (rank) segment sums: cumsum + ends difference. Segments
-    # tile [0, total) contiguously in rank order, so the low boundary of
-    # gaussian g is the high boundary of g-1: ONE (nrow, N) gather at the
-    # ASCENDING end positions + a lane shift replaces the former descriptor
-    # N-sort + (nrow, 2N) gather (measured 0.46 vs 0.60 ms at bear scale,
-    # scripts/bench_reduction_micro.py). The rank→original unsort is a small
-    # (nrow, N)←(nrow, N) lane gather with the precomputed inverse perm.
     # per-gaussian segment sums straight into ORIGINAL order: the segment
     # descriptors (hi/cum/nt) were carried through binning's inverse sort, so
     # this is exactly TWO N-query gathers from the prefix table — gathers are

@@ -79,7 +79,10 @@ def project_gaussians(
         intersection counts (and the static capacity they force) shrink
         substantially. ``radii`` stays the gsplat eigenvalue radius.
     """
-    f32 = jnp.float32
+    # dtype-following: f32 normally; f64 inputs (CPU parity legs under
+    # jax_enable_x64, e.g. dryrun_multichip's tightened-grad-bound check)
+    # keep f64 so reduction-order noise collapses below the parity tolerance
+    f32 = jnp.promote_types(means.dtype, jnp.float32)
     means = means.astype(f32)
     Rv = viewmat[:3, :3].astype(f32)
     tv = viewmat[:3, 3].astype(f32)

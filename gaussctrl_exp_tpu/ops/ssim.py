@@ -45,10 +45,11 @@ def _filter_stack(stack: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
     """(C, H, W) → (C, H', W') valid-mode separable gaussian filter as two
     MXU matmuls."""
     _, H, W = stack.shape
-    bh = jnp.asarray(_band_matrix(H, size, sigma))  # (H, H')
-    bw = jnp.asarray(_band_matrix(W, size, sigma))  # (W, W')
-    out = jnp.einsum("chw,wW->chW", stack, bw, preferred_element_type=jnp.float32)
-    out = jnp.einsum("chW,hH->cHW", out, bh, preferred_element_type=jnp.float32)
+    pet = jnp.promote_types(stack.dtype, jnp.float32)  # f32, or f64 on x64 legs
+    bh = jnp.asarray(_band_matrix(H, size, sigma), dtype=pet)  # (H, H')
+    bw = jnp.asarray(_band_matrix(W, size, sigma), dtype=pet)  # (W, W')
+    out = jnp.einsum("chw,wW->chW", stack, bw, preferred_element_type=pet)
+    out = jnp.einsum("chW,hH->cHW", out, bh, preferred_element_type=pet)
     return out
 
 

@@ -235,7 +235,7 @@ def make_sharded_render_loss(mesh: Mesh, cfg: ShardedRenderConfig):
         )  # band b receives band b+1's top rows; last band receives zeros
         pred_pad = jnp.concatenate([band_rgb, halo], axis=0)  # (Hb+10, W, 3)
         gt_pad = jnp.pad(gt_local, ((0, KS), (0, 0), (0, 0)))
-        gt_band = jax.lax.dynamic_slice(gt_pad, (band * Hb, 0, 0), (Hb + KS, W, 3))
+        gt_band = jax.lax.dynamic_slice_in_dim(gt_pad, band * Hb, Hb + KS, axis=0)
 
         l1_sum = jnp.sum(jnp.abs(band_rgb - gt_band[:Hb]))
         smap = ssim_map(pred_pad, gt_band)  # (Hb, W-10, C)
