@@ -231,7 +231,7 @@ def bench_scene(gs: GaussianState, k_hi=K, roofline=False):
         )
         b = bin_gaussians(p, tx, ty, CAP, ACAP)
         return jnp.sum(
-            (b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4]
+            (b.sorted_rank[:4] + b.aligned_gid[:4] + b.chunk_tile[:4]
              + b.chunk_base[:4] + b.cum[:4] + b.order[:4]).astype(jnp.float32)
         ) * 1e-6 + jnp.sum(colors[:2]) * 1e-9
 

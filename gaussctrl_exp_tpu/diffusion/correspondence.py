@@ -161,7 +161,9 @@ def make_multires_epipolar_processor(
     some = next(iter(tables.values()))
     V = some[0].shape[0]
     if pair_mask is None:
-        pair_mask = jnp.ones((V, V))
+        pair_mask = np.ones((V, V), np.float32)
+    # pair_mask must be HOST-static (numpy): it selects which view pairs run
+    # at all — a traced mask would force all pairs to run and mask after
     pm = np.asarray(pair_mask) * (1.0 - np.eye(V))  # never "self" pairs
 
     def processor(q, k, v, is_cross: bool) -> jnp.ndarray:

@@ -59,6 +59,19 @@ class EditConfig:
     self_attn_coeff_controlnet: float = 0.0
     controlnet_conditioning_scale: float = 1.0
     latent_size: int = 64  # 512² images → 64² latents
+    # cross-view attention processor choice. "attn_align" is the paper path
+    # (CrossViewAttnProcessor); "triplane" and "correspondence" surface the
+    # reference fork's experimental processors (gc_pipeline.py:329-331,384-398
+    # wires TriPlaneAttnProcessor + depth-backprojected pts_world into the
+    # pipe; mv_model.py's CPBlocks are the correspondence form) — geometry is
+    # computed per chunk from the rendered depths cached by render_reverse.
+    attn_processor: str = "attn_align"  # "attn_align" | "triplane" | "correspondence"
+    triplane_mix: float = 0.5
+    triplane_bbox_length: float = 8.0  # gc_pipeline.py:330
+    triplane_plane_res: int = 32
+    geom_res_divisor: int = 1  # geometry token grid = latent_size // this
+    corr_mix: float = 0.5
+    corr_sigma: float = 0.1
     # sidecar round-trip (reference gc_dataset.py:129-158 + ad_pipeline.py:276-282
     # + gc_render.py:826-838): render_reverse persists depth_npy/z_0/mask_npy/
     # unedited per view and a later run resumes them, skipping render+inversion
@@ -107,6 +120,7 @@ class GaussCtrlEditPipeline:
         # gc_dataset.py metadata / update_datasets ad_pipeline.py:276-282)
         self.z0: dict[int, np.ndarray] = {}
         self.disparity: dict[int, np.ndarray] = {}
+        self.depths: dict[int, np.ndarray] = {}  # raw depths (geometry processors)
         self.masks: dict[int, np.ndarray] = {}
         self.unedited: dict[int, np.ndarray] = {}
         self.n_inversions = 0  # views actually rendered+inverted this run
@@ -138,6 +152,7 @@ class GaussCtrlEditPipeline:
         if not (sp["z0"].exists() and sp["depth"].exists() and sp["unedited"].exists()):
             return False
         depth = np.load(sp["depth"])
+        self.depths[idx] = depth
         self.disparity[idx] = depth_to_disparity(depth)
         self.z0[idx] = np.load(sp["z0"])
         self.unedited[idx] = np.load(sp["unedited"])
@@ -205,6 +220,7 @@ class GaussCtrlEditPipeline:
             latents = encode_jit(mp, jnp.asarray(rgb)[None])
             z0 = invert_jit(mp, latents, jnp.asarray(disparity)[None])
             self.unedited[idx] = rgb
+            self.depths[idx] = depth
             self.disparity[idx] = disparity
             self.z0[idx] = np.asarray(z0[0])
             self.n_inversions += 1
@@ -218,6 +234,59 @@ class GaussCtrlEditPipeline:
         print()
 
     # ------------------------------------------------------------------
+    def _chunk_geometry(self, datamanager, views: list[int]):
+        """Per-chunk geometry for the experimental processors: depths cached
+        by render_reverse, strided to the feature grid. Returns a pytree of
+        arrays (passed through the jit boundary as ARGUMENTS so chunks don't
+        recompile) or None for the plain AttnAlign path."""
+        cfgp = self.cfg
+        if cfgp.attn_processor == "attn_align":
+            return None
+        from ..cameras import Camera
+        from .geometry import depth_to_world_points
+
+        fh = max(cfgp.latent_size // max(cfgp.geom_res_divisor, 1), 1)
+        depths = [jnp.asarray(self.depths[i], jnp.float32) for i in views]
+        cams = [datamanager.camera(i) for i in views]
+        if cfgp.attn_processor == "correspondence":
+            from .correspondence import build_correspondence_tables
+
+            return build_correspondence_tables(depths, cams, fh, cfgp.corr_sigma)
+        # triplane: back-project strided depths to (V, S, 3) world points
+        # (reference feeds pts_world from the rendered depth maps,
+        # gc_pipeline.py:384-398)
+        pts = []
+        for d, c in zip(depths, cams):
+            H = d.shape[0]
+            stride = max(H // fh, 1)
+            ds = d[stride // 2 :: stride, stride // 2 :: stride][:fh, :fh]
+            cs = Camera(c2w=c.c2w, fx=c.fx / stride, fy=c.fy / stride,
+                        cx=c.cx / stride, cy=c.cy / stride, width=fh, height=fh)
+            pts.append(depth_to_world_points(ds, cs).reshape(-1, 3))
+        return jnp.stack(pts)  # (V, S, 3)
+
+    def _make_processor(self, geom):
+        """Processor for one chunk — called INSIDE the jitted generate (all
+        jnp ops), so per-chunk geometry arrays are traced arguments."""
+        cfgp = self.cfg
+        if cfgp.attn_processor == "attn_align":
+            return make_cross_view_processor(cfgp.self_attn_coeff_unet, cfgp.ref_view_num)
+        if cfgp.attn_processor == "triplane":
+            from .triplane_attention import make_triplane_processor
+
+            return make_triplane_processor(
+                geom, mix=cfgp.triplane_mix,
+                bbox_length=cfgp.triplane_bbox_length,
+                plane_res=cfgp.triplane_plane_res,
+            )
+        if cfgp.attn_processor == "correspondence":
+            from .correspondence import make_multires_epipolar_processor
+
+            nbr_idx, nbr_w = geom
+            tables = {nbr_idx.shape[2]: (nbr_idx, nbr_w)}
+            return make_multires_epipolar_processor(tables, mix=cfgp.corr_mix)
+        raise ValueError(f"unknown attn_processor {cfgp.attn_processor!r}")
+
     def edit_images(self, datamanager) -> None:
         """Chunked cross-view-consistent regeneration (ad_pipeline.py:165-245)."""
         cfgp = self.cfg
@@ -227,9 +296,7 @@ class GaussCtrlEditPipeline:
         pos_ctx = self._encode([f"{cfgp.edit_prompt}, {ADDED_PROMPT}"])
         neg_ctx = self._encode([NEGATIVE_PROMPT])
 
-        proc_unet = make_cross_view_processor(cfgp.self_attn_coeff_unet, cfgp.ref_view_num)
-
-        def gen(p, z0_batch, hint_batch):
+        def gen(p, z0_batch, hint_batch, geom):
             B = z0_batch.shape[0]
             return self.pipe.generate(
                 z0_batch,
@@ -239,7 +306,7 @@ class GaussCtrlEditPipeline:
                 cfgp.guidance_scale,
                 cfgp.num_inference_steps,
                 cfgp.controlnet_conditioning_scale,
-                processor=proc_unet,
+                processor=self._make_processor(geom),
                 params=p,
             )
 
@@ -260,7 +327,8 @@ class GaussCtrlEditPipeline:
             hint = jnp.asarray(
                 np.concatenate([ref_disp, np.stack([self.disparity[i] for i in chunk])])
             )
-            latents = gen_jit(mp, z0, hint)
+            geom = self._chunk_geometry(datamanager, ref_indices + chunk)
+            latents = gen_jit(mp, z0, hint, geom)
             images = np.asarray(decode_jit(mp, latents))[len(ref_indices) :]
             for bi, view in enumerate(chunk):
                 edited = images[bi]

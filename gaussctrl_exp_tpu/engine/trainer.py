@@ -198,6 +198,7 @@ def make_train_step(cfg: TrainConfig, optimizer=None, lpips=None):
             total_sq = total_sq + sq
         metrics["Gradients/Total"] = jnp.sqrt(total_sq)
         metrics["n_isects"] = out.render.bins.n_isects
+        metrics["n_extra"] = out.render.bins.n_extra
         metrics["n_aligned"] = out.render.bins.n_aligned
         return new_state, metrics
 
@@ -264,24 +265,38 @@ class Trainer:
         # truncating intersections
         self._check_rebucket = True
 
-    def _maybe_rebucket(self, n_isects: int, n_aligned: int = 0) -> bool:
+    def _maybe_rebucket(self, n_isects: int, n_aligned: int = 0,
+                        n_extra: int = 0) -> bool:
         """Grow the static isect bucket when the scene approaches/exceeds it.
 
         Returns True when the jitted step was rebuilt at a larger capacity.
         Threshold 0.92: re-bucket BEFORE truncation (estimate_capacity's 1.08
         bench slack would already be eaten at that point). A host-estimated
         ``aligned_capacity`` that the scene outgrows falls back to the safe
-        worst case (None) in the same rebuild."""
+        worst case (None) in the same rebuild. The k>=1 expansion stream
+        (binning first-tile direct emission) has its own static size derived
+        from (capacity, N) — its overflow re-buckets the main capacity high
+        enough that the derived extra capacity regains slack."""
+        from ..ops.binning import _extra_capacity, round_capacity
+
         cap = self.cfg.model.render.isect_capacity
         acap = self.cfg.model.render.aligned_capacity
+        n_param = int(self.state.params.means.shape[0])
+        ecap = _extra_capacity(cap, n_param)
         aligned_over = acap is not None and n_aligned > int(acap * 0.92)
-        if not self.auto_rebucket or (n_isects <= int(cap * 0.92) and not aligned_over):
+        extra_over = n_extra > int(ecap * 0.92)
+        if not self.auto_rebucket or (
+            n_isects <= int(cap * 0.92) and not aligned_over and not extra_over
+        ):
             return False
-        from ..ops.binning import round_capacity
 
-        new_cap = cap if n_isects <= int(cap * 0.92) else round_capacity(
-            max(n_isects, cap + 1), slack=1.5
-        )
+        new_cap = cap
+        if n_isects > int(cap * 0.92):
+            new_cap = round_capacity(max(n_isects, cap + 1), slack=1.5)
+        if extra_over:
+            # capacity such that _extra_capacity(new_cap, N) >= 1.5 * n_extra
+            new_cap = max(new_cap, round_capacity(n_param + int(n_extra * 1.5),
+                                                  slack=1.0))
         render_cfg = dataclasses.replace(
             self.cfg.model.render, isect_capacity=new_cap,
             aligned_capacity=None if aligned_over else acap,
@@ -314,7 +329,8 @@ class Trainer:
             if self._check_rebucket:
                 self._check_rebucket = False
                 self._maybe_rebucket(int(jax.device_get(metrics["n_isects"])),
-                                     int(jax.device_get(metrics["n_aligned"])))
+                                     int(jax.device_get(metrics["n_aligned"])),
+                                     int(jax.device_get(metrics["n_extra"])))
 
             # AFTER_TRAIN_ITERATION callbacks — EXACT splatfacto cadence
             # (nerfstudio splatfacto.refinement_after, inherited by the
@@ -347,7 +363,8 @@ class Trainer:
 
             if self.step % log_every == 0 or self.step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                self._maybe_rebucket(int(m["n_isects"]), int(m["n_aligned"]))
+                self._maybe_rebucket(int(m["n_isects"]), int(m["n_aligned"]),
+                                     int(m["n_extra"]))
                 m["step"] = self.step
                 m["n_alive"] = int(jax.device_get(jnp.sum(self.state.alive)))
                 # device-memory scalar (reference: GPU Memory (MB),

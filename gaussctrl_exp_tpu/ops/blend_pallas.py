@@ -335,15 +335,13 @@ def _image_to_tiles(img, finalT, tiles_y, tiles_x, n_chan):
 
 def _bins_tuple(bins: TileBins):
     return (
-        bins.order,
-        bins.hi_orig,
-        bins.cum_orig,
+        bins.gid_end,
         bins.nt_orig,
         bins.tile_cnt,
         bins.chunk_tile,
         bins.chunk_base,
         bins.chunk_cnt,
-        bins.aligned_rank,
+        bins.aligned_gid,
     )
 
 
@@ -366,7 +364,7 @@ def _blend_core(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned
 
 
 def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, aligned_capacity, interpret):
-    order, hi_orig, cum_orig, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
+    gid_end, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_gid = bins_arrays
     tiles_x = (W + BLOCK - 1) // BLOCK
     tiles_y = (H + BLOCK - 1) // BLOCK
     num_tiles = tiles_x * tiles_y
@@ -374,14 +372,14 @@ def _blend_fwd_impl(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
     n_chan = colors.shape[1]
     ns = aligned_capacity // (SUPER * CHUNK)  # supersteps
 
-    # rank-major fields with one extra zero column at index N: aligned_rank
-    # uses rank N as the pad sentinel, so pads gather zeros (then the kernel's
-    # slot<cnt mask drops them anyway). Both gathers read small (N-lane)
-    # tables — the measured fast path. Only the 6+C live rows are gathered;
-    # the NFIELD zero-pad is appended afterwards (bandwidth-trivial).
-    packed_rank = _pack_fields(xys, conics, colors, opacs)[:, order]  # (6+C, N)
-    fr = jnp.pad(packed_rank, ((0, 0), (0, 1)))
-    vals_live = fr[:, aligned_rank]  # (6+C, aligned_cap) lane gather
+    # ORIGINAL-order fields with one extra zero column at index N:
+    # aligned_gid uses gid N as the pad sentinel, so pads gather zeros (then
+    # the kernel's slot<cnt mask drops them anyway). The stream is
+    # gid-indexed (round 5), so no depth reorder of the pack is needed —
+    # the former `[:, order]` gather cost ~1.9 ms/step at garden scale.
+    packed = _pack_fields(xys, conics, colors, opacs)  # (6+C, N)
+    fr = jnp.pad(packed, ((0, 0), (0, 1)))
+    vals_live = fr[:, aligned_gid]  # (6+C, aligned_cap) lane gather
     # (gathers are query-latency-bound, so the row count barely matters; the
     # pad may fuse into the gather — measured cost-neutral either way)
     vals = jnp.pad(vals_live, ((0, NFIELD - vals_live.shape[0]), (0, 0)))
@@ -419,7 +417,7 @@ def _blend_core_fwd(xys, conics, colors, opacs, bins_arrays, H, W, capacity, ali
 
 def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     vals, out_groups, bins_arrays, N = res
-    order, hi_orig, cum_orig, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = bins_arrays
+    gid_end, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_gid = bins_arrays
     g_img, g_finalT = cots
     n_chan = g_img.shape[-1]
     tiles_x = (W + BLOCK - 1) // BLOCK
@@ -452,31 +450,30 @@ def _blend_core_bwd(H, W, capacity, aligned_capacity, interpret, res, cots):
     )(chunk_tile, chunk_base, chunk_cnt, vals, out_groups, gout)
 
     # ---- slot grads (aligned layout) → per-gaussian grads, scatter-free ----
-    # Sort the stream by aligned_rank CARRYING the gradient rows as payloads:
-    # real slots of rank g land contiguous at [cum[g], cum[g]+nt[g]) (exactly
-    # the pre-sort slot layout); pads and invalid slots carry rank N, sort
-    # past capacity, and hold exact zeros. Re-profiled on v5e this round:
-    # the (key, iota)-sort + permutation-gather variant used previously is
-    # LATENCY-BOUND in the gather — O(cap) queries from a >VMEM table cost
-    # ~35 ms at 1.3M slots (vs ~1 ms here for the payload sort's extra rows),
-    # and the "piecewise VMEM-sized pieces" gather helper was 6× worse still.
+    # Sort the stream by aligned_gid CARRYING the gradient rows as payloads:
+    # real slots of ORIGINAL gaussian g land contiguous (segments tile
+    # [0, total) in gid order); pads and invalid slots carry gid N, sort
+    # past capacity, and hold exact zeros. The payload sort beats the
+    # (key, iota)-sort + permutation-gather variant by >10x (O(cap) queries
+    # from a >VMEM table are latency-bound, measured round 4).
     cap = capacity
     nrow = 6 + n_chan  # rows beyond this are structural zero padding
     reordered = jax.lax.sort(
-        (aligned_rank,) + tuple(slot_grads[r] for r in range(nrow)),
+        (aligned_gid,) + tuple(slot_grads[r] for r in range(nrow)),
         num_keys=1, is_stable=True,
     )
     sg_slot = jnp.stack(reordered[1:], axis=0)[:, :cap]  # (nrow, cap)
 
-    # per-gaussian segment sums straight into ORIGINAL order: the segment
-    # descriptors (hi/cum/nt) were carried through binning's inverse sort, so
-    # this is exactly TWO N-query gathers from the prefix table — gathers are
-    # per-query latency-bound (~4.5 ns/query, width-independent), so the
-    # query count is the whole cost; no rank-order intermediate, no unsort
+    # per-gaussian segment sums, already in ORIGINAL order: ends are the
+    # inclusive cumsum of nt_orig (ASCENDING — binning.gid_end), the low
+    # boundary is the previous gaussian's end (one lane shift) — ONE
+    # N-query gather total, no unsort (round 5; formerly two random
+    # N-query gathers at ~4.5 ns/query each).
     prefix = cumsum_rows(sg_slot)  # (nrow, cap), blocked two-level scan
-    hi_vals = prefix[:, hi_orig]  # (nrow, N)
-    lo_vals = prefix[:, jnp.clip(cum_orig - 1, 0, cap - 1)]
-    lo_vals = jnp.where((cum_orig > 0)[None, :], lo_vals, 0.0)
+    hi_vals = prefix[:, gid_end]  # (nrow, N)
+    lo_vals = jnp.concatenate(
+        [jnp.zeros((nrow, 1), hi_vals.dtype), hi_vals[:, :-1]], axis=1
+    )
     g_orig = jnp.where((nt_orig > 0)[None, :], hi_vals - lo_vals, 0.0)
 
     d_xys = jnp.stack([g_orig[0], g_orig[1]], axis=-1)

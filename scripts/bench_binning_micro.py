@@ -135,7 +135,7 @@ def upto_tilesort(m):
 def upto_full_binning(m):
     b, p = _through_tilesort(m)
     return (
-        b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
+        b.sorted_rank[:4] + b.aligned_gid[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
         + b.chunk_cnt[:4] + b.tile_start[:4]
     ).astype(jnp.float32)
 

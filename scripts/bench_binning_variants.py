@@ -129,7 +129,7 @@ def cur_bins(m):
     p = _proj(m)
     b = bin_gaussians(p, TX, TY, CAP)
     return (
-        b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
+        b.sorted_rank[:4] + b.aligned_gid[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
         + b.chunk_cnt[:4] + b.cum[:4] + b.nt_sorted[:4] + b.order[:4]
         + b.tile_start[:4] + b.tile_cnt[:4]
     ).astype(jnp.float32)

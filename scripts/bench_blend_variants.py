@@ -205,7 +205,7 @@ def fwd_variant(mode):
         nc = bins.aligned_capacity // CHUNK
         packed_rank = _pack_fields(proj.xys, proj.conics, colors, opacs)[:, bins.order]
         fr = jnp.pad(packed_rank, ((0, 0), (0, 1)))
-        vals = fr[:, bins.aligned_rank]
+        vals = fr[:, bins.aligned_gid]
         num_tiles = TX * TY
 
         if mode == "pair":

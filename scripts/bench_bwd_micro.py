@@ -79,7 +79,7 @@ def fwd_only(m):
 def _bwd_pieces(m, upto):
     out, res, ba, bins = _setup(m)
     vals, out_tiles, bins_arrays, Nn = res
-    order, hi_orig, cum_orig, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_rank = ba
+    gid_end, nt_orig, tile_cnt, chunk_tile, chunk_base, chunk_cnt, aligned_gid = ba
     import functools
 
     from jax.experimental import pallas as pl
@@ -118,7 +118,7 @@ def _bwd_pieces(m, upto):
     from gaussctrl_exp_tpu.ops.scan2d import cumsum_rows
 
     reordered = jax.lax.sort(
-        (aligned_rank,) + tuple(slot_grads[r] for r in range(nrow)),
+        (aligned_gid,) + tuple(slot_grads[r] for r in range(nrow)),
         num_keys=1, is_stable=True,
     )
     sg_slot = jnp.stack(reordered[1:], axis=0)[:, :CAP]
@@ -126,9 +126,8 @@ def _bwd_pieces(m, upto):
     if upto == 2:
         return prefix[:2, -2:]
 
-    hi_vals = prefix[:, hi_orig]
-    lo_vals = prefix[:, jnp.clip(cum_orig - 1, 0, CAP - 1)]
-    lo_vals = jnp.where((cum_orig > 0)[None, :], lo_vals, 0.0)
+    hi_vals = prefix[:, gid_end]
+    lo_vals = jnp.concatenate([jnp.zeros((nrow, 1), hi_vals.dtype), hi_vals[:, :-1]], axis=1)
     g_orig = jnp.where((nt_orig > 0)[None, :], hi_vals - lo_vals, 0.0)
     return g_orig[:2, :2]
 

@@ -76,7 +76,7 @@ for CAP in (1 << 17, 1 << 18):
         pr = project_gaussians(m, scales, 1.0, quats, vm, fm, cam.fx, cam.fy, cam.cx, cam.cy, S, S)
         b = bin_gaussians(pr, tx, ty, CAP)
         return (
-            b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
+            b.sorted_rank[:4] + b.aligned_gid[:4] + b.chunk_tile[:4] + b.chunk_base[:4]
             + b.chunk_cnt[:4] + b.cum[:4] + b.nt_sorted[:4] + b.order[:4]
             + b.tile_start[:4] + b.tile_cnt[:4]
         ).astype(jnp.float32).reshape(2, 2)

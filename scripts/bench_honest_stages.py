@@ -79,7 +79,7 @@ def s0_pre_fwd(params):
     )
     b = bin_gaussians(p, tx, ty, CAP, ACAP)
     out = jnp.sum(
-        (b.sorted_rank[:4] + b.aligned_rank[:4] + b.chunk_tile[:4]
+        (b.sorted_rank[:4] + b.aligned_gid[:4] + b.chunk_tile[:4]
          + b.chunk_base[:4] + b.cum[:4] + b.order[:4]).astype(jnp.float32)
     ) * 1e-6 + jnp.sum(colors[:2]) * 1e-9
     return jnp.full((2, 2), out)
@@ -100,7 +100,7 @@ def s1_nonblend_grads(params):
         fake = (
             jnp.sum(xys * 1e-6) + jnp.sum(p.conics * 1e-6) + jnp.sum(colors * 1e-6)
             + jnp.sum(jax.nn.sigmoid(params.opacities)) * 1e-6
-            + jnp.sum(b.aligned_rank[:4].astype(jnp.float32)) * 1e-9
+            + jnp.sum(b.aligned_gid[:4].astype(jnp.float32)) * 1e-9
         )
         img = jnp.broadcast_to(fake * 1e-3, (S, S, 3)) + target * 0.5
         loss, _ = splatfacto_loss(img, target)

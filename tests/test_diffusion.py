@@ -282,9 +282,13 @@ class TestEditPipeline:
         np.testing.assert_allclose(disp[0, 0], 1.0, rtol=1e-4)  # nearest → 1 after norm
         assert disp[1, 1, 0] < 0.01
 
-    def test_full_edit_loop_tiny(self, tiny_models):
+    @pytest.mark.parametrize("proc", ["attn_align", "triplane", "correspondence"])
+    def test_full_edit_loop_tiny(self, tiny_models, proc):
         """render_reverse + edit_images end-to-end with random weights on a
-        tiny synthetic scene: runs, writes back edited images of right shape."""
+        tiny synthetic scene, once per attention-processor choice (AttnAlign
+        is the paper path; triplane/correspondence surface the reference
+        fork's experimental processors, gc_pipeline.py:329-398): runs, writes
+        back edited images of right shape."""
         from gaussctrl_exp_tpu.cameras import look_at, make_camera
         from gaussctrl_exp_tpu.diffusion.pipeline import EditConfig, GaussCtrlEditPipeline
         from gaussctrl_exp_tpu.diffusion.sd_pipeline import attach_text_encoder
@@ -329,7 +333,8 @@ class TestEditPipeline:
         models.text_params = None
 
         cfg = EditConfig(edit_prompt="a bear statue", reverse_prompt="a bear",
-                         num_inference_steps=2, chunk_size=2, guidance_scale=5.0)
+                         num_inference_steps=2, chunk_size=2, guidance_scale=5.0,
+                         attn_processor=proc, latent_size=8)
         pipe = GaussCtrlEditPipeline(cfg, models=models)
 
         gs = init_random(64, capacity=64, sh_degree=1, seed=0)

@@ -202,3 +202,69 @@ class TestGradients:
         g_n = jax.grad(loss_naive, argnums=(0, 1, 2))(*args)
         for gt, gn, name in zip(g_t, g_n, ["means", "colors", "opacs"]):
             np.testing.assert_allclose(np.asarray(gt), np.asarray(gn), atol=1e-6, rtol=1e-3, err_msg=name)
+
+
+class TestRealCameraParity:
+    """Full render_model on REAL bear cameras (transforms.json extrinsics +
+    intrinsics scaled to 128² for CPU interpret speed): Pallas kernels vs the
+    jnp oracle at tight tolerance. The in-env half of the gsplat parity axis
+    (scripts/parity_gsplat.py is the cross-stack half; reference call shape
+    gc_model.py:174-236)."""
+
+    def test_render_model_pallas_vs_jnp_real_cameras(self):
+        import dataclasses
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        from parity_gsplat import build_scene
+
+        from gaussctrl_exp_tpu.cameras import make_camera
+        from gaussctrl_exp_tpu.models.gaussians import (
+            GaussianParams, GaussianState, rgb_to_sh_dc,
+        )
+        from gaussctrl_exp_tpu.models.splat_model import SplatModelConfig, render_model
+        from gaussctrl_exp_tpu.ops.renderer import RenderConfig
+
+        sc = build_scene("bear", 2)
+        S = 128
+        scale = S / sc["width"]
+        n = sc["xyz"].shape[0]
+        params = GaussianParams(
+            means=jnp.asarray(sc["xyz"]),
+            scales=jnp.asarray(sc["log_scales"]),
+            quats=jnp.asarray(sc["quats"]),
+            features_dc=jnp.asarray(np.asarray(rgb_to_sh_dc(jnp.asarray(sc["rgb"])))),
+            features_rest=jnp.asarray(sc["f_rest"]),
+            opacities=jnp.asarray(sc["opac_logit"]),
+        )
+        state = GaussianState(params, jnp.ones(n, bool))
+        outs = {}
+        for impl in ("jnp", "pallas"):
+            cfg = SplatModelConfig(
+                sh_degree=3, background_color="white",
+                render=RenderConfig(impl=impl, isect_capacity=1 << 17,
+                                    max_per_tile=4096),
+            )
+            step = jnp.int32(30 * cfg.sh_degree_interval)
+            for vi in range(2):
+                cam = make_camera(
+                    jnp.asarray(sc["c2w"][vi]),
+                    float(sc["fx"][vi]) * scale, float(sc["fy"][vi]) * scale,
+                    float(sc["cx"][vi]) * scale, float(sc["cy"][vi]) * scale,
+                    S, S,
+                )
+                out = render_model(state, cam, step, cfg, training=False,
+                                   background_override=jnp.ones(3))
+                outs[(impl, vi)] = out
+        for vi in range(2):
+            a, b = outs[("pallas", vi)], outs[("jnp", vi)]
+            np.testing.assert_allclose(
+                np.asarray(a.rgb), np.asarray(b.rgb), atol=2e-5,
+                err_msg=f"rgb view {vi}")
+            np.testing.assert_allclose(
+                np.asarray(a.alpha), np.asarray(b.alpha), atol=2e-5,
+                err_msg=f"alpha view {vi}")
+            np.testing.assert_allclose(
+                np.asarray(a.depth), np.asarray(b.depth), rtol=1e-4, atol=1e-3,
+                err_msg=f"depth view {vi}")
